@@ -1,0 +1,92 @@
+"""Multi-layer (optionally bidirectional) LSTM with torch.nn.LSTM numerics.
+
+Reference: the codec's ResLSTM (BigCodec_SSL/vq/module.py:143-167) wraps a
+2-layer `nn.LSTM(d, d, batch_first=True)` with a residual skip. On GPU this is
+a cuDNN kernel; the TPU-native equivalent maps the input projections of *all*
+timesteps onto one big MXU matmul and runs only the recurrent half inside a
+`lax.scan`:
+
+    pre[t] = x[t] @ W_ih^T + b_ih + b_hh          # (B, T, 4H) batched matmul
+    scan over t: gates = pre[t] + h @ W_hh^T       # (B, 4H) per-step matmul
+                 i, f, g, o = split(gates)         # torch gate order
+                 c = sigmoid(f) * c + sigmoid(i) * tanh(g)
+                 h = sigmoid(o) * tanh(c)
+
+Weights use torch layout: W_ih (4H, in), W_hh (4H, H), biases (4H,), gate
+order [i, f, g, o]. Zero initial state, as nn.LSTM defaults.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False):
+    """Single-direction LSTM layer. x: (B, T, in) -> (B, T, H)."""
+    hdim = w_hh.shape[1]
+    B = x.shape[0]
+    pre = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
+    pre = jnp.swapaxes(pre, 0, 1)  # (T, B, 4H) scan over leading axis
+
+    def step(carry, p):
+        h, c = carry
+        gates = p + h @ w_hh.T
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, hdim), x.dtype), jnp.zeros((B, hdim), x.dtype))
+    _, hs = jax.lax.scan(step, init, pre, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def lstm(x, params, *, num_layers: int, bidirectional: bool = False):
+    """torch.nn.LSTM(batch_first=True) equivalent. x: (B, T, in) -> (B, T, H_out).
+
+    params: list of per-layer dicts with keys w_ih/w_hh/b_ih/b_hh and, when
+    bidirectional, w_ih_r/w_hh_r/b_ih_r/b_hh_r (the `_reverse` suffixed torch
+    params). H_out = H (uni) or 2H (bi, fwd/bwd concatenated like torch).
+    """
+    out = x
+    for l in range(num_layers):
+        p = params[l] if isinstance(params, (list, tuple)) else params[str(l)]
+        fwd = _lstm_layer(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
+        if bidirectional:
+            bwd = _lstm_layer(out, p["w_ih_r"], p["w_hh_r"], p["b_ih_r"], p["b_hh_r"],
+                              reverse=True)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            out = fwd
+    return out
+
+
+def res_lstm(x, params, *, num_layers: int = 2, bidirectional: bool = False,
+             skip: bool = True):
+    """ResLSTM (vq/module.py:143-167). x: (B, F, T) -> (B, F, T) with residual skip."""
+    xt = jnp.swapaxes(x, 1, 2)  # (B, T, F)
+    y = lstm(xt, params, num_layers=num_layers, bidirectional=bidirectional)
+    if skip:
+        y = y + xt
+    return jnp.swapaxes(y, 1, 2)
+
+
+def init_lstm(key, input_size, hidden_size, *, num_layers: int,
+              bidirectional: bool = False):
+    """torch nn.LSTM default init: all params U(-k, k), k = 1/sqrt(hidden)."""
+    k = 1.0 / math.sqrt(hidden_size)
+    num_dir = 2 if bidirectional else 1
+    layers = []
+    for l in range(num_layers):
+        in_sz = input_size if l == 0 else hidden_size * num_dir
+        p = {}
+        for suffix in ([""] if not bidirectional else ["", "_r"]):
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            p["w_ih" + suffix] = jax.random.uniform(k1, (4 * hidden_size, in_sz), minval=-k, maxval=k)
+            p["w_hh" + suffix] = jax.random.uniform(k2, (4 * hidden_size, hidden_size), minval=-k, maxval=k)
+            p["b_ih" + suffix] = jax.random.uniform(k3, (4 * hidden_size,), minval=-k, maxval=k)
+            p["b_hh" + suffix] = jax.random.uniform(k4, (4 * hidden_size,), minval=-k, maxval=k)
+        layers.append(p)
+    return layers
