@@ -1,0 +1,164 @@
+"""Codec model facade: encoder + quantizer + decoder as pure functions.
+
+Mirrors CodecLightningModule.construct_model / forward
+(BigCodec_SSL/lightning_module.py:87-194, 225-278) — encoder and decoder
+types are config-selected, the quantizer is owned by the decoder side, and
+the two-phase decoder semantics (quantize vs synthesize) become explicit
+``quantize`` / ``decode`` functions.
+
+Params tree:
+  {"encoder": ..., "quantizer": ..., "decoder": ...[, "semantic": ...]}
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, DecoderConfig, EncoderConfig
+from . import bigcodec, conformer
+from .quantizers import factorized_vq as fvq
+from .quantizers.fsq import fsq_apply, fsq_codes_to_emb, fsq_implicit_codebook
+
+
+class CodecOutput(NamedTuple):
+    gt_wav: jnp.ndarray        # (B, 1, T)
+    gen_wav: jnp.ndarray       # (B, 1, T)
+    vq_loss: jnp.ndarray       # (Nq,)
+    vq_code: jnp.ndarray       # (Nq, B, T_frames)
+    semantic_recon_loss: jnp.ndarray | None = None
+
+
+def encode(params, cfg: Config, wav):
+    """wav: (B, T) -> latents (B, C, T_frames)."""
+    e = cfg.model.codec_encoder
+    x = wav[:, None, :]
+    if e.type == "bigcodec":
+        return bigcodec.bigcodec_encode(
+            params["encoder"], x, up_ratios=tuple(e.up_ratios),
+            dilations=tuple(e.dilations), use_rnn=e.use_rnn,
+            rnn_num_layers=e.rnn_num_layers,
+            rnn_bidirectional=e.rnn_bidirectional, causal=e.causal,
+            antialias=e.antialias)
+    if e.type == "conformer_stft":
+        return conformer.conformer_encode(
+            params["encoder"], x, hop_length=e.hop_length, n_fft=e.n_fft,
+            window_size=e.window_size, n_head=e.n_head, rope_theta=e.rope_theta,
+            max_seq_len=e.max_seq_len, causal=e.causal)
+    raise ValueError(f"unknown encoder type {e.type}")
+
+
+def quantize(params, cfg: Config, latents, *, training: bool = False):
+    """latents (B, C, Tf) -> (quantized (B, C, Tf), codes (Nq, B, Tf), loss (Nq,)).
+
+    Matches decoder.forward(x, vq=True) (codec_decoder.py:85-92): FSQ returns
+    zero commit loss; the default path is the factorized ResidualVQ.
+    """
+    d = cfg.model.codec_decoder
+    q = "fsq" if d.fsq else d.quantizer
+    if q == "fsq":
+        zq, codes = fsq_apply(params["quantizer"], latents, levels=tuple(d.fsq_levels))
+        loss = jnp.zeros((1,), latents.dtype)
+        return zq, codes[None], loss
+    if q == "fvq":
+        return fvq.residual_vq_apply(
+            params["quantizer"], latents, num_quantizers=d.vq_num_quantizers,
+            commitment=d.vq_commit_weight, training=training)
+    raise ValueError(f"unknown quantizer {q}")
+
+
+def decode(params, cfg: Config, quantized):
+    """quantized latents (B, C, Tf) -> waveform (B, 1, T)."""
+    d = cfg.model.codec_decoder
+    if d.type == "bigcodec":
+        return bigcodec.bigcodec_decode(
+            params["decoder"], quantized, up_ratios=tuple(d.up_ratios),
+            dilations=tuple(d.dilations), use_rnn=d.use_rnn,
+            rnn_num_layers=d.rnn_num_layers,
+            rnn_bidirectional=d.rnn_bidirectional, causal=d.causal,
+            antialias=d.antialias)
+    if d.type == "conformer_istft":
+        return conformer.conformer_decode(
+            params["decoder"], quantized, hop_length=d.hop_length, n_fft=d.n_fft,
+            n_head=d.n_head, rope_theta=d.rope_theta, max_seq_len=d.max_seq_len,
+            causal=d.causal)
+    raise ValueError(f"unknown decoder type {d.type}")
+
+
+def codes_to_emb(params, cfg: Config, codes, *, proj: bool = True):
+    """codes (B, Tf, Nq) -> decoder-input embeddings (B, C, Tf) (vq2emb path)."""
+    d = cfg.model.codec_decoder
+    if d.fsq or d.quantizer == "fsq":
+        emb = fsq_codes_to_emb(codes[..., 0], levels=tuple(d.fsq_levels),
+                               params=params["quantizer"])
+    else:
+        emb = fvq.residual_vq_codes_to_emb(params["quantizer"], codes, proj=proj)
+    return jnp.swapaxes(emb, 1, 2)
+
+
+def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = False):
+    """Full forward (lightning_module.py:225-278), without the semantic branch."""
+    wav = batch["wav"]
+    latents = encode(params, cfg, wav)
+    if cfg.train.use_semantic:
+        from .semantic import semantic_forward
+
+        return semantic_forward(params, cfg, batch, latents, training=training)
+    zq, codes, vq_loss = quantize(params, cfg, latents, training=training)
+    gen = decode(params, cfg, zq)
+    return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
+                       vq_code=codes)
+
+
+def tokenize(params, cfg: Config, wav):
+    """wav (B, T) -> token indices (Nq, B, Tf) — the extract_indices path."""
+    latents = encode(params, cfg, wav)
+    _, codes, _ = quantize(params, cfg, latents, training=False)
+    return codes
+
+
+def init_codec(key, cfg: Config) -> Dict[str, Any]:
+    e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
+    k_enc, k_dec, k_q, k_sem = jax.random.split(key, 4)
+    if e.type == "bigcodec":
+        enc = bigcodec.init_bigcodec_encoder(
+            k_enc, ngf=e.ngf, up_ratios=tuple(e.up_ratios),
+            dilations=tuple(e.dilations), out_channels=e.out_channels,
+            use_rnn=e.use_rnn, rnn_num_layers=e.rnn_num_layers,
+            rnn_bidirectional=e.rnn_bidirectional)
+    elif e.type == "conformer_stft":
+        enc = conformer.init_conformer_encoder(
+            k_enc, n_fft=e.n_fft, dim=e.dim, n_layers=e.n_layers, n_head=e.n_head,
+            ffn_mult=e.ffn_mult, conv_kernel_size=e.conv_kernel_size,
+            out_channels=e.out_channels)
+    else:
+        raise ValueError(e.type)
+    if d.type == "bigcodec":
+        dec = bigcodec.init_bigcodec_decoder(
+            k_dec, in_channels=d.in_channels,
+            upsample_initial_channel=d.upsample_initial_channel,
+            up_ratios=tuple(d.up_ratios), dilations=tuple(d.dilations),
+            use_rnn=d.use_rnn, rnn_num_layers=d.rnn_num_layers,
+            rnn_bidirectional=d.rnn_bidirectional)
+    elif d.type == "conformer_istft":
+        dec = conformer.init_conformer_decoder(
+            k_dec, in_channels=d.in_channels, n_fft=d.n_fft, dim=d.dim,
+            n_layers=d.n_layers, n_head=d.n_head, ffn_mult=d.ffn_mult,
+            conv_kernel_size=d.conv_kernel_size)
+    else:
+        raise ValueError(d.type)
+    if d.fsq or d.quantizer == "fsq":
+        from .quantizers.fsq import init_fsq
+
+        q = init_fsq(k_q, dim=d.in_channels, levels=tuple(d.fsq_levels))
+    else:
+        q = fvq.init_residual_vq(k_q, num_quantizers=d.vq_num_quantizers,
+                                 dim=d.in_channels, codebook_size=d.codebook_size,
+                                 codebook_dim=d.codebook_dim)
+    params = {"encoder": enc, "decoder": dec, "quantizer": q}
+    if cfg.train.use_semantic:
+        from .semantic import init_semantic
+
+        params["semantic"] = init_semantic(k_sem, cfg)
+    return params

@@ -1,0 +1,98 @@
+"""Conformer STFT encoder / ISTFT decoder codec variant.
+
+Reference: ConformerEncoderSTFT (BigCodec_SSL/vq/codec_encoder.py:124-209)
+and ConformerDecoderISTFT (vq/codec_decoder.py:385-528) — the config1 run
+(hop 200, n_fft=win 800, dim 256, 6 layers, rope_theta 500).
+
+Encoder: STFT (center=False, constant pad (win-hop)/2) -> cat(real, imag)
+-> 1x1 conv proj -> RMSNorm -> ConformerBackbone(conv_first=True) -> RMSNorm
+-> weight-normed 1x1 out proj.
+
+Decoder: 1x1 in proj -> ConformerBackbone(conv_first=False) -> RMSNorm ->
+ISTFTHead (Linear dim -> n_fft+2, exp-magnitude clipped at 1e2, cos/sin phase,
+"same"-padding NOLA ISTFT).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv1d, get_weight, init_conv1d, init_linear, init_wn_conv1d, linear
+from ..ops.stft import hann_window, istft_same, stft_same_constant_pad
+from ..ops.transformer import (conformer_backbone, init_conformer_backbone,
+                               precompute_rope, rms_norm)
+
+
+def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
+                     n_head=8, rope_theta=10000.0, max_seq_len=8192,
+                     causal=False):
+    """x: (B, 1, T) -> (B, out_channels, T/hop) latents."""
+    wav = x[:, 0, :]
+    spec = stft_same_constant_pad(wav, n_fft=n_fft, hop_length=hop_length,
+                                  win_length=window_size)  # (B, F, Tf) complex
+    feats = jnp.concatenate([spec.real, spec.imag], axis=1)  # (B, 2F, Tf)
+    h = conv1d(feats, get_weight(params["input_proj"]), params["input_proj"].get("b"))
+    h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["input_norm"]), 1, 2)
+    h = conformer_backbone(h, params["backbone"], n_head=n_head,
+                           rope_theta=rope_theta, max_seq_len=max_seq_len,
+                           conv_first=True, causal=causal)
+    h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["norm"]), 1, 2)
+    if "output_proj" in params:
+        h = conv1d(h, get_weight(params["output_proj"]), params["output_proj"].get("b"))
+    return h
+
+
+def istft_head(params, x, *, n_fft: int, hop_length: int):
+    """ISTFTHead (codec_decoder.py:229-274). x: (B, T, dim) -> (B, 1, L)."""
+    pred = linear(x, params)  # (B, T, n_fft + 2)
+    pred = jnp.swapaxes(pred, 1, 2)  # (B, n_fft+2, T)
+    mag, phase = jnp.split(pred, 2, axis=1)
+    mag = jnp.minimum(jnp.exp(mag), 1e2)
+    spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
+    audio = istft_same(spec, n_fft=n_fft, hop_length=hop_length, win_length=n_fft)
+    return audio[:, None, :]
+
+
+def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
+                     rope_theta=10000.0, max_seq_len=8192, causal=False):
+    """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform."""
+    if "input_proj" in params:
+        x = conv1d(x, get_weight(params["input_proj"]), params["input_proj"].get("b"))
+    x = conformer_backbone(x, params["backbone"], n_head=n_head,
+                           rope_theta=rope_theta, max_seq_len=max_seq_len,
+                           conv_first=False, causal=causal)
+    x = rms_norm(jnp.swapaxes(x, 1, 2), params["norm"])  # (B, T, dim)
+    return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length)
+
+
+def init_conformer_encoder(key, *, n_fft=800, dim=256, n_layers=6, n_head=8,
+                           ffn_mult=4, conv_kernel_size=31, out_channels=256):
+    k1, k2, k3 = jax.random.split(key, 3)
+    stft_dim = n_fft // 2 + 1
+    p = {
+        "input_proj": init_conv1d(k1, 2 * stft_dim, dim, 1, torch_default=True),
+        "input_norm": jnp.ones((dim,)),
+        "backbone": init_conformer_backbone(k2, dim, n_layers, n_head=n_head,
+                                            ffn_mult=ffn_mult,
+                                            conv_kernel_size=conv_kernel_size),
+        "norm": jnp.ones((dim,)),
+    }
+    if out_channels != dim:
+        p["output_proj"] = init_wn_conv1d(k3, dim, out_channels, 1, torch_default=True)
+    return p
+
+
+def init_conformer_decoder(key, *, in_channels=256, n_fft=800, dim=256,
+                           n_layers=6, n_head=8, ffn_mult=4,
+                           conv_kernel_size=31):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "backbone": init_conformer_backbone(k1, dim, n_layers, n_head=n_head,
+                                            ffn_mult=ffn_mult,
+                                            conv_kernel_size=conv_kernel_size),
+        "norm": jnp.ones((dim,)),
+        "head_out": init_linear(k2, dim, n_fft + 2),
+    }
+    if in_channels != dim:
+        p["input_proj"] = init_wn_conv1d(k3, in_channels, dim, 1, torch_default=True)
+    return p

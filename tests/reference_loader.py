@@ -1,0 +1,40 @@
+"""Import helper for the read-only PyTorch reference at /root/reference.
+
+Used ONLY as a golden oracle in parity tests: we instantiate the reference's
+torch modules, convert their state dicts with audiotokenization_tpu.convert,
+and require numerical agreement. The reference vendors lucidrains
+vector-quantize-pytorch which imports `einx` (not installed); the symbols the
+codec path actually touches never call into einx, so a minimal stub module is
+injected before import.
+"""
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference/BigCodec_SSL")
+
+
+def load_reference():
+    if not REF.exists():
+        pytest.skip("reference tree not mounted")
+    if "einx" not in sys.modules:
+        einx = types.ModuleType("einx")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("einx stub: not available in tests")
+
+        for name in ("get_at", "rearrange", "add", "multiply", "where", "less",
+                     "greater", "equal", "logsumexp", "softmax", "dot", "sum"):
+            setattr(einx, name, _unavailable)
+        sys.modules["einx"] = einx
+        nn_mod = types.ModuleType("einx.nn")
+        tor = types.ModuleType("einx.nn.torch")
+        sys.modules["einx.nn"] = nn_mod
+        sys.modules["einx.nn.torch"] = tor
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import vq  # noqa: F401
+
+    return sys.modules["vq"]
