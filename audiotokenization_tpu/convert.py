@@ -202,6 +202,37 @@ def _convert_backbone(v: _View, n_layers: int) -> Dict[str, Any]:
     return {"layers": layers}
 
 
+def convert_mpd(sd: Mapping[str, Any], *, n_periods: int = 5, n_stages: int = 5,
+                prefix: str = "") -> Dict[str, Any]:
+    """HiFiGANMultiPeriodDiscriminator layout (module/mpd.py:46-72, 122-126)."""
+    v = _View(sd, prefix)
+    discs = []
+    for i in range(n_periods):
+        dv = v.sub(f"discriminators.{i}")
+        convs = [_conv(dv.sub(f"convs.{j}.0")) for j in range(n_stages)]
+        discs.append({"convs": convs, "out": _conv(dv.sub("output_conv"))})
+    return {"discs": discs}
+
+
+def convert_spec_discriminator(sd: Mapping[str, Any], *, n_resolutions: int = 5,
+                               n_downsample: int = 3,
+                               prefix: str = "") -> Dict[str, Any]:
+    """SpecDiscriminator layout (module/mstft.py:34-43, 97-135)."""
+    v = _View(sd, prefix)
+    discs = []
+    n_layers = n_downsample + 3
+    for i in range(n_resolutions):
+        dv = v.sub(f"model.disc_{i}")
+        layers = []
+        for j in range(n_layers):
+            if j < n_layers - 1:
+                layers.append(_conv(dv.sub(f"model.layer_{j}.0")))
+            else:
+                layers.append(_conv(dv.sub(f"model.layer_{j}")))
+        discs.append({"layers": layers})
+    return {"discs": discs}
+
+
 def split_lightning_state_dict(sd: Mapping[str, Any]):
     """Split a CodecLightningModule state dict into per-module flat dicts.
 

@@ -1,0 +1,49 @@
+"""Multi-resolution mel-spectrogram loss.
+
+Reference: BigCodec_SSL/criterions/mel_loss.py:9-49 — 7 resolutions with
+window lengths 32..2048 (hop = win/4), n_mels 5..320, power 1.0 magnitude
+mels with slaney norm+scale, L1 between log10(clamp(mel, 1e-5)) of generated
+and target, summed over resolutions.
+
+Filterbanks and window tables are precomputed once at construction; each
+resolution is one framed-matmul + rfft + mel matmul, all batched — XLA keeps
+the whole loss on-device in one fusion region. Computed in fp32.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from ..ops.stft import hann_window, mel_filterbank, stft
+
+
+class MultiResolutionMelLoss:
+    def __init__(self, sample_rate: int = 16000,
+                 n_mels: Sequence[int] = (5, 10, 20, 40, 80, 160, 320),
+                 window_lengths: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048),
+                 clamp_eps: float = 1e-5, pow: float = 1.0):
+        self.resolutions = []
+        for nm, wl in zip(n_mels, window_lengths):
+            fb = mel_filterbank(sample_rate=sample_rate, n_fft=wl, n_mels=nm)
+            self.resolutions.append((wl, wl // 4, fb, hann_window(wl)))
+        self.clamp_eps = clamp_eps
+        self.pow = pow
+
+    def __call__(self, x, y):
+        """x, y: (B, T) waveforms -> scalar loss."""
+        loss = 0.0
+        for wl, hop, fb, win in self.resolutions:
+            lx = self._log_mel(x, wl, hop, fb, win)
+            ly = self._log_mel(y, wl, hop, fb, win)
+            loss += jnp.mean(jnp.abs(lx - ly))
+        return loss
+
+    def _log_mel(self, x, n_fft, hop, fb, win):
+        s = stft(x, n_fft=n_fft, hop_length=hop, win_length=n_fft, window=win,
+                 center=True, pad_mode="reflect")
+        mag = jnp.sqrt(s.real ** 2 + s.imag ** 2)
+        mel = jnp.einsum("mf,bft->bmt", fb, mag)
+        if self.pow != 1.0:
+            mel = mel ** self.pow
+        return jnp.log10(jnp.maximum(mel, self.clamp_eps))

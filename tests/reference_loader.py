@@ -33,8 +33,23 @@ def load_reference():
         tor = types.ModuleType("einx.nn.torch")
         sys.modules["einx.nn"] = nn_mod
         sys.modules["einx.nn.torch"] = tor
+    if "torchaudio" not in sys.modules:
+        # common/audio.py imports torchaudio at module scope but the codec
+        # paths only use torch.stft; stub it so the discriminators import.
+        ta = types.ModuleType("torchaudio")
+        ta.transforms = types.ModuleType("torchaudio.transforms")
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = ta.transforms
     if str(REF) not in sys.path:
         sys.path.insert(0, str(REF))
     import vq  # noqa: F401
 
     return sys.modules["vq"]
+
+
+def load_reference_module(name: str):
+    """Import an arbitrary reference module (e.g. 'module.mpd') with stubs."""
+    load_reference()
+    import importlib
+
+    return importlib.import_module(name)
