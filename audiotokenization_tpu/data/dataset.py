@@ -1,0 +1,158 @@
+"""Filelist-driven audio dataset with the reference's exact crop/pad policy.
+
+Reference: FSDataset / DataModule (BigCodec_SSL/data_module.py:20-148):
+
+- filelists are text files whose lines are tab-split, first field = path
+  (data_module.py:82-86); relative paths resolve against a root dir;
+- load audio, resample if the file rate differs from cfg.sample_rate, take
+  channel 0 (:95-100);
+- if min_audio_length != -1: right-pad short clips to min_audio_length, then
+  crop exactly min_audio_length samples — random offset when training,
+  offset 0 for eval (:102-111);
+- zero-pad the tail so length % pad_to_multiple_of == 0 (:112-122);
+- collate stacks into {"wav": (B, T)} (:136-148).
+
+TPU-first replacements for the torch DataLoader machinery: a thread-pool
+prefetching iterator (audio decode is I/O + the native FLAC decoder, which
+releases the GIL inside ctypes), deterministic per-epoch shuffling, and
+multi-host sharding by filelist stripe (process i takes lines i::N).
+"""
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..config import DatasetSplit
+from .audio_io import read_audio
+
+
+def read_filelist(path, root: Optional[str] = None) -> list:
+    """Tab-split first field per line; resolve relative paths against root."""
+    lines = Path(path).read_text().splitlines()
+    out = []
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        p = line.split("\t")[0]
+        if root is not None and not Path(p).is_absolute():
+            p = str(Path(root) / p)
+        out.append(p)
+    return out
+
+
+def load_clip(path, *, sample_rate: int, min_audio_length: int,
+              pad_to_multiple_of: int, train: bool,
+              rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Load one file and apply the crop/pad policy. Returns float32 (T,)."""
+    wav, sr = read_audio(path)
+    wav = wav[0]  # channel 0
+    if sr != sample_rate:
+        from ..ops.resample import resample
+
+        wav = np.asarray(resample(wav, sr, sample_rate))
+    if min_audio_length != -1:
+        if len(wav) < min_audio_length:
+            wav = np.pad(wav, (0, min_audio_length - len(wav)))
+        if train:
+            start = int((rng or np.random).randint(0, len(wav) - min_audio_length + 1))
+        else:
+            start = 0
+        wav = wav[start:start + min_audio_length]
+    if pad_to_multiple_of and len(wav) % pad_to_multiple_of != 0:
+        wav = np.pad(wav, (0, pad_to_multiple_of - len(wav) % pad_to_multiple_of))
+    return wav.astype(np.float32)
+
+
+class AudioDataset:
+    """Map-style dataset over a filelist."""
+
+    def __init__(self, split: DatasetSplit, *, sample_rate: int,
+                 pad_to_multiple_of: int, root: Optional[str] = None,
+                 train: bool = False):
+        self.files = read_filelist(split.filelist, root)
+        self.split = split
+        self.sample_rate = sample_rate
+        self.pad_to_multiple_of = pad_to_multiple_of
+        self.train = train
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, idx: int, rng=None) -> np.ndarray:
+        return load_clip(self.files[idx], sample_rate=self.sample_rate,
+                         min_audio_length=self.split.min_audio_length,
+                         pad_to_multiple_of=self.pad_to_multiple_of,
+                         train=self.train, rng=rng)
+
+
+class DataLoader:
+    """Batched, prefetching iterator with deterministic epoch shuffling.
+
+    Multi-host: pass process_index/process_count to stripe the filelist
+    (the jax.process_index() equivalent of DistributedSampler).
+    """
+
+    def __init__(self, dataset: AudioDataset, *, batch_size: int,
+                 shuffle: bool = False, seed: int = 0, num_workers: int = 8,
+                 drop_last: bool = True, process_index: int = 0,
+                 process_count: int = 1, prefetch: int = 4):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        rng = np.random.RandomState(hash((self.seed, self.epoch)) % (2 ** 31))
+        seeds = rng.randint(0, 2 ** 31, size=len(indices))
+        seed_of = dict(zip(indices.tolist(), seeds.tolist()))
+
+        def load_batch(batch_idx):
+            clips = [self.ds.get(int(i), np.random.RandomState(seed_of[int(i)]))
+                     for i in batch_idx]
+            max_len = max(len(c) for c in clips)
+            wav = np.zeros((len(clips), max_len), np.float32)
+            for j, c in enumerate(clips):
+                wav[j, :len(c)] = c
+            return {"wav": wav,
+                    "lengths": np.asarray([len(c) for c in clips], np.int32)}
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            it = iter(batches)
+            for _ in range(min(self.prefetch, len(batches))):
+                pending.append(pool.submit(load_batch, next(it)))
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    nxt = next(it)
+                    pending.append(pool.submit(load_batch, nxt))
+                except StopIteration:
+                    pass
+                yield fut.result()
+        self.epoch += 1

@@ -1,0 +1,76 @@
+"""Orbax checkpointing: save/restore TrainState + config.
+
+Reference behavior replaced (SURVEY.md §5.4): Lightning ModelCheckpoint with
+top-1 on mel_loss, save_last, every 10k steps (train.py:21-23), resume via
+fit(ckpt_path=...) and config snapshot to <run>/hydra/config.yaml that
+inference reads back. Here: async Orbax saves of the full TrainState, a
+`best` alias tracked on a monitored metric, and config.json stored beside the
+checkpoints — extract/inference CLIs load the same artifact.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import Config, load_config, save_config, to_dict
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory, cfg: Config, *, max_to_keep: int = 3):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, self.directory / "config.json")
+        self.mngr = ocp.CheckpointManager(
+            self.directory / "ckpt",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True),
+        )
+        self.best_metric = None
+        self.best_step = None
+        best_file = self.directory / "best.json"
+        if best_file.exists():
+            rec = json.loads(best_file.read_text())
+            self.best_metric = rec.get("metric")
+            self.best_step = rec.get("step")
+
+    def save(self, state: TrainState, *, metric: Optional[float] = None):
+        step = int(state.step)
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        if metric is not None and (self.best_metric is None or metric < self.best_metric):
+            self.best_metric = float(metric)
+            self.best_step = step
+            (self.directory / "best.json").write_text(
+                json.dumps({"metric": self.best_metric, "step": step}))
+
+    def wait(self):
+        self.mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return state
+        return self.mngr.restore(step, args=ocp.args.StandardRestore(state))
+
+
+def load_checkpoint_params(directory, *, step: Optional[int] = None,
+                           best: bool = False):
+    """Load (cfg, gen_params) from a run directory for inference/extraction."""
+    directory = Path(directory).resolve()
+    cfg = load_config(directory / "config.json")
+    if best and (directory / "best.json").exists():
+        step = json.loads((directory / "best.json").read_text())["step"]
+    mngr = ocp.CheckpointManager(directory / "ckpt")
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    restored = mngr.restore(step, args=ocp.args.StandardRestore())
+    gen_params = restored.gen_params if hasattr(restored, "gen_params") else restored["gen_params"]
+    return cfg, gen_params

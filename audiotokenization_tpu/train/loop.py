@@ -1,0 +1,130 @@
+"""Training loop: the train.py/Lightning-Trainer replacement.
+
+Drives the single jitted GAN step (train/step.py) over the data-parallel
+mesh, with periodic validation (recon metrics + codebook stats, mirroring
+lightning_module.py:419-451), Orbax checkpointing (best-on-mel + last, every
+N steps, like the reference's ModelCheckpoint, train.py:21-23), and JSONL/
+wandb logging.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import codec
+from ..parallel.mesh import make_data_mesh, shard_batch
+from ..utils.logging import MetricsLogger
+from . import metrics as M
+from .checkpoint import CheckpointManager
+from .state import TrainState, init_train_state
+from .step import jit_train_step
+
+
+def make_eval_step(cfg: Config, mesh=None):
+    def eval_fn(gen_params, batch):
+        out = codec.forward(gen_params, cfg, batch, training=False)
+        y = out.gt_wav[:, 0, :]
+        y_ = out.gen_wav[:, 0, :]
+        return {
+            "si_snr": M.si_snr(y_, y),
+            "si_sdr": M.si_sdr(y_, y),
+            "codebook_hist": M.codebook_histogram(
+                out.vq_code, cfg.model.codec_decoder.codebook_size),
+            "gen_wav": out.gen_wav,
+            "gt_wav": out.gt_wav,
+        }
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_fn, in_shardings=(repl, {"wav": data}))
+
+
+def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
+                   compute_stoi: bool = True, max_batches: Optional[int] = None):
+    eval_step = make_eval_step(cfg, mesh)
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
+    hist = None
+    for i, batch in enumerate(val_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        b = {"wav": jnp.asarray(batch["wav"])}
+        if mesh is not None:
+            b = shard_batch(mesh, b)
+        out = eval_step(gen_params, b)
+        agg["si_snr"].append(float(out["si_snr"]))
+        agg["si_sdr"].append(float(out["si_sdr"]))
+        h = np.asarray(out["codebook_hist"])
+        hist = h if hist is None else hist + h
+        if compute_stoi:
+            gt = np.asarray(out["gt_wav"])[:, 0]
+            gen = np.asarray(out["gen_wav"])[:, 0]
+            for j in range(min(len(gt), 4)):  # cap host-metric cost
+                s = M.stoi(gt[j], gen[j], cfg.dataset.sample_rate)
+                if np.isfinite(s):
+                    agg["stoi"].append(s)
+                p = M.pesq_metric(gt[j], gen[j], cfg.dataset.sample_rate)
+                if p is not None:
+                    agg["pesq"].append(p)
+    results = {f"val_{k}": float(np.mean(v)) for k, v in agg.items() if v}
+    if hist is not None:
+        hj = jnp.asarray(hist)
+        results["val_codebook_perplexity"] = float(M.perplexity_from_histogram(hj))
+        results["val_codebook_utilization"] = float(M.utilization_from_histogram(hj))
+    return results
+
+
+def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
+          use_mesh: bool = True, max_steps: Optional[int] = None,
+          logger: Optional[MetricsLogger] = None):
+    """Main entry: loops batches through the jitted step until max_steps."""
+    mesh = make_data_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    state = init_train_state(jax.random.key(cfg.train.seed), cfg)
+    ckpt = CheckpointManager(run_dir, cfg)
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    step_fn = jit_train_step(cfg, mesh, donate=True)
+    logger = logger or MetricsLogger(run_dir, run_name=cfg.name, use_wandb=False)
+    max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+
+    step = int(state.step)
+    t_last = time.perf_counter()
+    hist_accum = None
+    while step < max_steps:
+        for batch in train_loader:
+            if step >= max_steps:
+                break
+            b = {"wav": jnp.asarray(batch["wav"])}
+            if mesh is not None:
+                b = shard_batch(mesh, b)
+            state, metrics = step_fn(state, b)
+            step += 1
+            h = metrics.pop("codebook_hist")
+            hist_accum = h if hist_accum is None else hist_accum + h
+            if step % cfg.train.log_every_n_steps == 0:
+                now = time.perf_counter()
+                sps = cfg.train.log_every_n_steps / (now - t_last)
+                t_last = now
+                logs = {k: float(v) for k, v in metrics.items()}
+                logs["steps_per_sec"] = sps
+                logs["codebook_perplexity"] = float(M.perplexity_from_histogram(hist_accum))
+                logs["codebook_utilization"] = float(M.utilization_from_histogram(hist_accum))
+                hist_accum = None
+                logger.log(logs, step)
+            if val_loader is not None and step % cfg.train.val_every_n_steps == 0:
+                val = run_validation(cfg, state.gen_params, val_loader, mesh=mesh)
+                logger.log(val, step)
+            if step % cfg.train.checkpoint_every_n_steps == 0 or step == max_steps:
+                mel = metrics.get("mel_loss")
+                ckpt.save(state, metric=float(mel) if mel is not None else None)
+    ckpt.save(state)
+    ckpt.wait()
+    return state

@@ -1,0 +1,50 @@
+"""Metrics logging: JSONL file + stdout + optional wandb.
+
+The reference logs everything through Lightning's WandbLogger
+(BigCodec_SSL/train.py:37, project 'Audio-Tokenizer'). Here the primary sink
+is an append-only metrics.jsonl next to the run dir (machine-readable,
+dependency-free); wandb attaches automatically when the package + env are
+available.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, log_dir, *, project: str = "Audio-Tokenizer",
+                 run_name: str = "run", use_wandb: bool = True,
+                 wandb_id: Optional[str] = None):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.file = open(self.log_dir / "metrics.jsonl", "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=project, name=run_name,
+                                        id=wandb_id, resume="allow")
+            except Exception:
+                self.wandb = None
+
+    def log(self, metrics: Dict[str, Any], step: int):
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self.file.write(json.dumps(rec) + "\n")
+        self.file.flush()
+        if self.wandb is not None:
+            self.wandb.log({k: v for k, v in rec.items() if k not in ("time",)},
+                           step=int(step))
+
+    def close(self):
+        self.file.close()
+        if self.wandb is not None:
+            self.wandb.finish()

@@ -1,0 +1,89 @@
+"""Integration: dataset -> loader -> train loop -> checkpoint -> resume (tiny)."""
+import numpy as np
+import pytest
+import jax
+
+from audiotokenization_tpu.config import Config
+from audiotokenization_tpu.data.audio_io import write_wav
+from audiotokenization_tpu.data.dataset import AudioDataset, DataLoader
+from audiotokenization_tpu.train.checkpoint import load_checkpoint_params
+from audiotokenization_tpu.train.loop import run_validation, train
+
+from test_train_step import tiny_config
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    files = []
+    for i in range(8):
+        p = tmp_path / f"clip{i}.wav"
+        write_wav(p, (rng.randn(900 + 100 * i) * 0.1).astype(np.float32), 16000)
+        files.append(str(p))
+    fl = tmp_path / "train.txt"
+    fl.write_text("\n".join(f"{p}\tspeaker{i}" for i, p in enumerate(files)))
+    return tmp_path, fl
+
+
+def _loaders(cfg, fl):
+    cfg.dataset.train.filelist = str(fl)
+    cfg.dataset.train.min_audio_length = 800
+    cfg.dataset.train.batch_size = 2
+    cfg.dataset.pad_to_multiple_of = 10
+    ds = AudioDataset(cfg.dataset.train, sample_rate=16000, pad_to_multiple_of=10,
+                      train=True)
+    return DataLoader(ds, batch_size=2, shuffle=True, seed=0, num_workers=2)
+
+
+def test_dataset_crop_pad_policy(corpus):
+    tmp, fl = corpus
+    cfg = tiny_config()
+    loader = _loaders(cfg, fl)
+    batches = list(loader)
+    assert len(batches) == 4
+    for b in batches:
+        assert b["wav"].shape == (2, 800)  # exact crop of min_audio_length
+    # eval mode: full length padded to multiple
+    cfg.dataset.test.filelist = str(fl)
+    cfg.dataset.test.min_audio_length = -1
+    ds = AudioDataset(cfg.dataset.test, sample_rate=16000, pad_to_multiple_of=320)
+    clip = ds.get(3)
+    assert len(clip) % 320 == 0
+    assert len(clip) >= 900 + 300
+
+
+def test_train_loop_checkpoint_resume(corpus, tmp_path):
+    tmp, fl = corpus
+    cfg = tiny_config()
+    cfg.train.log_every_n_steps = 2
+    cfg.train.checkpoint_every_n_steps = 3
+    loader = _loaders(cfg, fl)
+    run_dir = tmp_path / "run"
+    state = train(cfg, train_loader=loader, run_dir=str(run_dir),
+                  use_mesh=False, max_steps=3)
+    assert int(state.step) == 3
+    # metrics.jsonl written
+    assert (run_dir / "metrics.jsonl").exists()
+    # restore for inference
+    cfg2, gen_params = load_checkpoint_params(run_dir)
+    assert cfg2.model.codec_decoder.codebook_size == 64
+    leaves_a = jax.tree.leaves(state.gen_params)
+    leaves_b = jax.tree.leaves(gen_params)
+    np.testing.assert_allclose(np.asarray(leaves_a[0]), np.asarray(leaves_b[0]))
+    # resume continues from step 3
+    state2 = train(cfg, train_loader=loader, run_dir=str(run_dir),
+                   use_mesh=False, max_steps=5)
+    assert int(state2.step) == 5
+
+
+def test_validation_metrics(corpus):
+    tmp, fl = corpus
+    cfg = tiny_config()
+    loader = _loaders(cfg, fl)
+    from audiotokenization_tpu.train.state import init_train_state
+
+    state = init_train_state(jax.random.key(0), cfg)
+    res = run_validation(cfg, state.gen_params, loader, compute_stoi=False,
+                         max_batches=1)
+    assert "val_si_snr" in res and "val_codebook_perplexity" in res
+    assert np.isfinite(res["val_si_snr"])

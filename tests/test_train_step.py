@@ -1,0 +1,105 @@
+"""Train-step smoke + semantics tests on a tiny codec (CPU, 8 virtual devices)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audiotokenization_tpu.config import Config
+from audiotokenization_tpu.train.state import init_train_state
+from audiotokenization_tpu.train.step import jit_train_step, make_train_step
+from audiotokenization_tpu.parallel.mesh import make_data_mesh, shard_batch
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    e = cfg.model.codec_encoder
+    e.ngf = 4
+    e.out_channels = 32
+    e.up_ratios = (2, 5)
+    e.rnn_num_layers = 1
+    d = cfg.model.codec_decoder
+    d.in_channels = 32
+    d.upsample_initial_channel = 16
+    d.up_ratios = (5, 2)
+    d.rnn_num_layers = 1
+    d.codebook_size = 64
+    d.codebook_dim = 8
+    m = cfg.model.mpd
+    m.periods = (2, 3)
+    m.channels = 4
+    m.max_downsample_channels = 16
+    s = cfg.model.mstft
+    s.stft_params.fft_sizes = (128, 256)
+    s.stft_params.hop_sizes = (32, 64)
+    s.stft_params.win_lengths = (128, 256)
+    s.channels = 4
+    s.max_downsample_channels = 16
+    return cfg
+
+
+def test_train_step_runs_and_improves_losses():
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(0), cfg)
+    step = jit_train_step(cfg)
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(2, 800) * 0.1).astype(np.float32)
+    batch = {"wav": jnp.asarray(wav)}
+    state1, metrics = step(state, batch)
+    assert int(state1.step) == 1
+    for k in ("disc_loss", "gen_loss", "mel_loss", "adv_loss", "fm_loss", "vq_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert metrics["codebook_hist"].shape == (64,)
+    assert float(jnp.sum(metrics["codebook_hist"])) == 2 * (800 // 10)
+    # params actually changed
+    leaf0 = jax.tree.leaves(state.gen_params)[0]
+    leaf1 = jax.tree.leaves(state1.gen_params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_train_step_gen_sees_updated_disc():
+    """Reference semantics: gen loss is computed after the disc update.
+
+    With a fresh state, run one step twice with different disc LR; the gen
+    gradients must differ (they depend on the updated disc params).
+    """
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(1), cfg)
+    rng = np.random.RandomState(1)
+    batch = {"wav": jnp.asarray((rng.randn(2, 800) * 0.1).astype(np.float32))}
+
+    cfg2 = tiny_config()
+    # warmup_step=0 makes the schedule emit max_lr at step 0 (vs 1e-5 warmup
+    # floor in cfg), so the first disc update differs by orders of magnitude.
+    cfg2.train.disc_schedule_params = dataclasses.replace(
+        cfg2.train.disc_schedule_params, max_lr=0.5, warmup_step=0)
+
+    s_a, _ = jit_train_step(cfg)(state, batch)
+    s_b, _ = jit_train_step(cfg2)(state, batch)
+    ga = jax.tree.leaves(s_a.gen_params)
+    gb = jax.tree.leaves(s_b.gen_params)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ga, gb))
+
+
+def test_train_step_data_parallel_matches_single_device():
+    """DP over the 8-device CPU mesh == single-device result (same global batch)."""
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(2), cfg)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(8, 800) * 0.1).astype(np.float32)
+    batch = {"wav": jnp.asarray(wav)}
+
+    s_single, m_single = jit_train_step(cfg)(state, batch)
+
+    mesh = make_data_mesh()
+    assert mesh.size == 8
+    sharded = shard_batch(mesh, {"wav": jnp.asarray(wav)})
+    s_mesh, m_mesh = jit_train_step(cfg, mesh)(state, sharded)
+
+    np.testing.assert_allclose(float(m_single["gen_loss"]), float(m_mesh["gen_loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_single.gen_params)[:10],
+                    jax.tree.leaves(s_mesh.gen_params)[:10]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
