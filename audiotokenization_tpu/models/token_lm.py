@@ -1,0 +1,153 @@
+"""Stage-2 token language model (CodecLLM equivalent).
+
+Reference: BigCodec_SSL/lightning_module.py:527-612 — a small
+LlamaForCausalLM (vocab = codebook_size + 2 with BOS=V / EOS=V+1, hidden 256,
+intermediate 1024, 4 layers, 4 heads, max_pos 1024) trained with next-token
+CE over token streams produced by the FROZEN codec encoder + quantizer:
+inputs = [BOS, idx...], targets = [idx..., EOS].
+
+Implemented natively as a Llama-architecture decoder-only transformer
+(pre-RMSNorm, RoPE, causal attention, SwiGLU gate/up/down MLP, untied LM
+head) over this framework's transformer ops; the codec tokenizer runs under
+stop_gradient inside the same jitted step.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..ops.conv import init_linear, linear
+from ..ops.transformer import precompute_rope, apply_rope, rms_norm
+
+
+class TokenLMConfig(NamedTuple):
+    vocab_size: int          # codebook_size + 2
+    hidden_size: int = 256
+    intermediate_size: int = 1024
+    num_layers: int = 4
+    num_heads: int = 4
+    max_position_embeddings: int = 1024
+    rope_theta: float = 10000.0
+
+    @property
+    def bos_token_id(self):
+        return self.vocab_size - 2
+
+    @property
+    def eos_token_id(self):
+        return self.vocab_size - 1
+
+
+def token_lm_apply(params, lm_cfg: TokenLMConfig, tokens):
+    """tokens: (B, T) int32 -> logits (B, T, vocab)."""
+    B, T = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)  # (B, T, H)
+    head_dim = lm_cfg.hidden_size // lm_cfg.num_heads
+    cos, sin = precompute_rope(head_dim, lm_cfg.max_position_embeddings,
+                               lm_cfg.rope_theta)
+    cos, sin = cos[:T], sin[:T]
+    for layer in params["layers"]:
+        x = rms_norm(h, layer["attn_norm"])
+        q = linear(x, layer["q"]).reshape(B, T, lm_cfg.num_heads, head_dim)
+        k = linear(x, layer["k"]).reshape(B, T, lm_cfg.num_heads, head_dim)
+        v = linear(x, layer["v"]).reshape(B, T, lm_cfg.num_heads, head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        att = jax.nn.dot_product_attention(q, k, v, is_causal=True)
+        h = h + linear(att.reshape(B, T, -1), layer["o"])
+        x = rms_norm(h, layer["mlp_norm"])
+        h = h + linear(jax.nn.silu(linear(x, layer["gate"])) * linear(x, layer["up"]),
+                       layer["down"])
+    h = rms_norm(h, params["norm"])
+    return linear(h, params["lm_head"])
+
+
+def token_lm_loss(params, lm_cfg: TokenLMConfig, indices):
+    """Next-token CE over [BOS, idx] -> [idx, EOS] (lightning_module.py:563-596)."""
+    B, T = indices.shape
+    bos = jnp.full((B, 1), lm_cfg.bos_token_id, indices.dtype)
+    eos = jnp.full((B, 1), lm_cfg.eos_token_id, indices.dtype)
+    inputs = jnp.concatenate([bos, indices], axis=1)
+    targets = jnp.concatenate([indices, eos], axis=1)
+    logits = token_lm_apply(params, lm_cfg, inputs)
+    loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, targets))
+    return loss
+
+
+def token_lm_generate(params, lm_cfg: TokenLMConfig, *, batch_size: int,
+                      length: int, key, temperature: float = 1.0):
+    """Autoregressive sampling from BOS for `length` tokens (greedy at temp=0)."""
+    tokens = jnp.full((batch_size, 1), lm_cfg.bos_token_id, jnp.int32)
+
+    def body(carry, _):
+        tokens, key = carry
+        logits = token_lm_apply(params, lm_cfg, tokens)[:, -1]
+        key, sub = jax.random.split(key)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        return (jnp.concatenate([tokens, nxt[:, None].astype(jnp.int32)], axis=1),
+                key), nxt
+
+    # fixed unrolled loop (shapes grow) — fine for the small eval lengths used
+    carry = (tokens, key)
+    for _ in range(length):
+        carry, _ = body(carry, None)
+    return carry[0][:, 1:]
+
+
+def init_token_lm(key, lm_cfg: TokenLMConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, 3 + lm_cfg.num_layers)
+    h, inter = lm_cfg.hidden_size, lm_cfg.intermediate_size
+    std = 0.02
+
+    def normal(k, shape):
+        return std * jax.random.normal(k, shape)
+
+    layers = []
+    for i in range(lm_cfg.num_layers):
+        lk = jax.random.split(keys[3 + i], 7)
+        layers.append({
+            "attn_norm": jnp.ones((h,)),
+            "q": {"w": normal(lk[0], (h, h))},
+            "k": {"w": normal(lk[1], (h, h))},
+            "v": {"w": normal(lk[2], (h, h))},
+            "o": {"w": normal(lk[3], (h, h))},
+            "mlp_norm": jnp.ones((h,)),
+            "gate": {"w": normal(lk[4], (inter, h))},
+            "up": {"w": normal(lk[5], (inter, h))},
+            "down": {"w": normal(lk[6], (h, inter))},
+        })
+    return {
+        "embed": normal(keys[0], (lm_cfg.vocab_size, h)),
+        "layers": layers,
+        "norm": jnp.ones((h,)),
+        "lm_head": {"w": normal(keys[1], (lm_cfg.vocab_size, h))},
+    }
+
+
+def make_token_lm_train_step(cfg: Config, lm_cfg: TokenLMConfig, codec_params,
+                             tx):
+    """Jitted step: wav -> frozen tokenize -> LM CE update. Returns (state, logs)."""
+    from . import codec as C
+
+    frozen = jax.lax.stop_gradient(codec_params)
+
+    def step(lm_params, opt_state, batch):
+        indices = C.tokenize(frozen, cfg, batch["wav"])  # (Nq, B, T)
+        indices = jax.lax.stop_gradient(indices[0]).astype(jnp.int32)
+
+        def loss_fn(p):
+            return token_lm_loss(p, lm_cfg, indices)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lm_params)
+        updates, opt_state = tx.update(grads, opt_state, lm_params)
+        lm_params = optax.apply_updates(lm_params, updates)
+        return lm_params, opt_state, {"loss": loss, "ppl": jnp.exp(loss)}
+
+    return jax.jit(step)

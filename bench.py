@@ -34,7 +34,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iters):
         codes = tokenize(params, wav)
-    jax.block_until_ready(codes)
+        jax.block_until_ready(codes)  # block per call: honest wall-clock
     dt = time.perf_counter() - t0
     audio_seconds = n_iters * B * 1.0
     throughput = audio_seconds / dt  # audio-seconds tokenized per wall second per chip

@@ -1,0 +1,132 @@
+"""Quantizer zoo tests: FSQ parity vs reference, EMA-VQ/LFQ/SimVQ/RPQ behavior."""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from reference_loader import load_reference_module
+
+from audiotokenization_tpu.models.quantizers import factorized_vq as FQ
+from audiotokenization_tpu.models.quantizers import fsq as FSQ
+from audiotokenization_tpu.models.quantizers.ema_vq import ema_vq_apply, init_ema_vq
+from audiotokenization_tpu.models.quantizers.lfq import lfq_apply, lfq_indices_to_codes
+from audiotokenization_tpu.models.quantizers.misc import (
+    grouped_quantize, init_random_projection_quantizer, init_sim_vq,
+    random_projection_quantize, residual_quantize, sim_vq_apply)
+
+
+def test_fsq_parity_vs_reference():
+    fsq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.finite_scalar_quantization")
+    torch.manual_seed(0)
+    levels = [4, 4, 4, 8]
+    ref = fsq_mod.FSQ(levels=levels, channel_first=True, dim=32).eval()
+    rng = np.random.RandomState(0)
+    z = rng.randn(2, 32, 11).astype(np.float32)
+    with torch.no_grad():
+        out_ref, idx_ref = ref(torch.from_numpy(z))
+    params = {
+        "project_in": {"w": jnp.asarray(ref.project_in.weight.detach().numpy()),
+                       "b": jnp.asarray(ref.project_in.bias.detach().numpy())},
+        "project_out": {"w": jnp.asarray(ref.project_out.weight.detach().numpy()),
+                        "b": jnp.asarray(ref.project_out.bias.detach().numpy())},
+    }
+    out, idx = FSQ.fsq_apply(params, jnp.asarray(z), levels=tuple(levels))
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=1e-4, atol=1e-5)
+    # index -> code round trip
+    codes = FSQ.fsq_indices_to_codes(idx, tuple(levels))
+    np.testing.assert_array_equal(
+        np.asarray(FSQ.fsq_codes_to_indices(codes, tuple(levels))), np.asarray(idx))
+
+
+def test_ema_vq_updates_and_converges():
+    rng = np.random.RandomState(0)
+    key = jax.random.key(0)
+    state = init_ema_vq(key, codebook_size=16, dim=4)
+    # two clusters
+    centers = np.array([[2, 2, 2, 2], [-2, -2, -2, -2]], np.float32)
+    data = np.concatenate([
+        centers[0] + 0.1 * rng.randn(64, 4), centers[1] + 0.1 * rng.randn(64, 4)
+    ]).astype(np.float32)
+    x = jnp.asarray(data.T[None])  # (1, 4, 128)
+    for i in range(30):
+        res = ema_vq_apply(state, x, training=True, rng=jax.random.key(i))
+        state = res.state
+    # assigned codes must separate the two clusters
+    idx = np.asarray(res.indices)[0]
+    assert len(np.unique(idx[:64])) >= 1 and len(np.unique(idx[64:])) >= 1
+    assert set(np.unique(idx[:64])).isdisjoint(set(np.unique(idx[64:])))
+    # quantization error small after EMA convergence
+    err = np.mean((np.asarray(res.quantized)[0].T - data) ** 2)
+    assert err < 0.1
+    assert np.all(np.isfinite(np.asarray(res.loss)))
+
+
+def test_ema_vq_psum_matches_local_single_device():
+    """axis_name psum over a 1-device mesh == no axis_name."""
+    from jax.sharding import Mesh
+    import numpy as np
+
+    state = init_ema_vq(jax.random.key(0), codebook_size=8, dim=4)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 4, 16).astype(np.float32))
+
+    def f(state, x):
+        return ema_vq_apply(state, x, training=True, rng=jax.random.key(0),
+                            axis_name="data")
+
+    devices = jax.devices()[:1]
+    mesh = Mesh(np.array(devices), ("data",))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    res_sm = shard_map(f, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                       check_rep=False)(state, x)
+    res_local = ema_vq_apply(state, x, training=True, rng=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(res_sm.state["embed"]),
+                               np.asarray(res_local.state["embed"]), rtol=1e-5)
+
+
+def test_lfq_roundtrip_and_losses():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 7).astype(np.float32))
+    res = lfq_apply(x, training=True)
+    assert res.indices.shape == (2, 7)
+    assert (np.asarray(res.indices) >= 0).all() and (np.asarray(res.indices) < 1024).all()
+    codes = lfq_indices_to_codes(res.indices, codebook_dim=10)
+    np.testing.assert_allclose(np.asarray(codes),
+                               np.sign(np.asarray(x)).transpose(0, 2, 1), atol=1e-6)
+    assert np.isfinite(float(res.entropy_aux_loss))
+
+
+def test_sim_vq_and_rpq():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 9).astype(np.float32))
+    p = init_sim_vq(jax.random.key(0), codebook_size=32, dim=8)
+    q, idx, loss = sim_vq_apply(p, x, training=True)
+    assert q.shape == x.shape and idx.shape == (2, 9) and loss.shape == (2,)
+    rp = init_random_projection_quantizer(jax.random.key(1), dim=8,
+                                          codebook_dim=4, codebook_size=16)
+    ridx = random_projection_quantize(rp, x)
+    assert ridx.shape == (2, 9)
+    # deterministic (frozen)
+    np.testing.assert_array_equal(np.asarray(ridx),
+                                  np.asarray(random_projection_quantize(rp, x)))
+
+
+def test_residual_and_grouped_combinators():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 9).astype(np.float32))
+    ps = [init_sim_vq(jax.random.key(i), codebook_size=32, dim=8) for i in range(2)]
+    fns = [lambda v, p=p: sim_vq_apply(p, v, training=True) for p in ps]
+    q, idx, loss = residual_quantize(fns, x)
+    assert q.shape == x.shape and idx.shape == (2, 2, 9) and loss.shape == (2,)
+    # residual stacking reduces error
+    e1 = float(jnp.mean((sim_vq_apply(ps[0], x, training=False)[0] - x) ** 2))
+    e2 = float(jnp.mean((q - x) ** 2))
+    assert e2 < e1
+    gps = [init_sim_vq(jax.random.key(10 + i), codebook_size=32, dim=4) for i in range(2)]
+    gfns = [lambda v, p=p: sim_vq_apply(p, v, training=True) for p in gps]
+    gq, gidx, gloss = grouped_quantize(gfns, x)
+    assert gq.shape == x.shape and gidx.shape == (2, 2, 9)
