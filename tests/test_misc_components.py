@@ -1,0 +1,79 @@
+"""Tests: ECAPA-TDNN speaker model, token merging, resampler, schedules."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiotokenization_tpu.models.ecapa_tdnn import (ecapa_tdnn_embed,
+                                                     init_ecapa_tdnn,
+                                                     log_mel_fbank,
+                                                     speaker_similarity)
+from audiotokenization_tpu.ops.resample import resample
+from audiotokenization_tpu.train.schedule import warmup_lr_schedule
+from audiotokenization_tpu.utils.tome import adjacent_chained_merge, unmerge
+
+
+def test_ecapa_embedding_shapes():
+    params = init_ecapa_tdnn(jax.random.key(0), channels=64, emb_dim=32)
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000).astype(np.float32))
+    feats = log_mel_fbank(wav)
+    assert feats.shape[1] == 80
+    emb = ecapa_tdnn_embed(params, feats)
+    assert emb.shape == (2, 32)
+    sim = speaker_similarity(params, wav, wav)
+    np.testing.assert_allclose(np.asarray(sim), 1.0, atol=1e-4)
+
+
+def test_tome_merge_unmerge():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 4).astype(np.float32))
+    merged, info = adjacent_chained_merge(x, r=3)
+    assert merged.shape == (2, 7, 4)
+    assert (np.asarray(info.n_groups) <= 7).all()
+    rec = unmerge(merged, info)
+    assert rec.shape == x.shape
+    # tokens in the same group share the pooled value
+    g = np.asarray(info.group_of)
+    m = np.asarray(merged)
+    r = np.asarray(rec)
+    for b in range(2):
+        for t in range(10):
+            np.testing.assert_allclose(r[b, t], m[b, g[b, t]], rtol=1e-6)
+
+
+def test_tome_chaining_merges_identical_runs():
+    # three identical adjacent tokens -> links inside the run are most similar
+    x = np.random.RandomState(1).randn(1, 6, 8).astype(np.float32)
+    x[0, 2] = x[0, 1]
+    x[0, 3] = x[0, 1]
+    merged, info = adjacent_chained_merge(jnp.asarray(x), r=2)
+    g = np.asarray(info.group_of)[0]
+    assert g[1] == g[2] == g[3]
+    assert int(np.asarray(info.n_groups)[0]) == 4
+
+
+def test_resampler_preserves_tone_frequency():
+    fs_in, fs_out = 16000, 10000
+    t = np.arange(fs_in) / fs_in
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = np.asarray(resample(jnp.asarray(tone), fs_in, fs_out))
+    assert len(out) == 10000
+    spec = np.abs(np.fft.rfft(out[1000:9000] * np.hanning(8000)))
+    freq = np.fft.rfftfreq(8000, 1 / fs_out)
+    assert abs(freq[np.argmax(spec)] - 440) < 3
+    # identity when rates match
+    same = np.asarray(resample(jnp.asarray(tone), fs_in, fs_in))
+    np.testing.assert_array_equal(same, tone)
+
+
+def test_warmup_lr_schedule_matches_reference_formula():
+    sched = warmup_lr_schedule(warmup_step=1000, down_step=500000,
+                               max_lr=1e-4, min_lr=1e-5)
+    assert abs(float(sched(0)) - 1e-5) < 1e-9
+    assert abs(float(sched(1000)) - 1e-4) < 1e-9
+    # halfway through decay
+    mid = float(sched(1000 + 250000))
+    np.testing.assert_allclose(mid, (1e-4 + 1e-5) / 2, rtol=1e-3)
+    assert abs(float(sched(600000)) - 1e-5) < 1e-9
+    # quadratic warmup: value at half warmup is init + (max-init)/4
+    q = float(sched(500))
+    np.testing.assert_allclose(q, 1e-5 + (1e-4 - 1e-5) / 4, rtol=1e-3)

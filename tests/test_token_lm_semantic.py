@@ -1,0 +1,92 @@
+"""Token LM + semantic branch tests (tiny shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from audiotokenization_tpu.models.token_lm import (TokenLMConfig, init_token_lm,
+                                                   token_lm_apply, token_lm_loss,
+                                                   token_lm_generate)
+
+from test_train_step import tiny_config
+
+
+def test_token_lm_shapes_and_loss():
+    lm_cfg = TokenLMConfig(vocab_size=66, hidden_size=32, intermediate_size=64,
+                           num_layers=2, num_heads=2, max_position_embeddings=64)
+    params = init_token_lm(jax.random.key(0), lm_cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 10)))
+    logits = token_lm_apply(params, lm_cfg, tokens)
+    assert logits.shape == (2, 10, 66)
+    loss = token_lm_loss(params, lm_cfg, tokens)
+    # random init -> loss near ln(vocab)
+    assert abs(float(loss) - np.log(66)) < 1.0
+
+
+def test_token_lm_overfits_tiny_sequence():
+    lm_cfg = TokenLMConfig(vocab_size=18, hidden_size=32, intermediate_size=64,
+                           num_layers=2, num_heads=2, max_position_embeddings=32)
+    params = init_token_lm(jax.random.key(1), lm_cfg)
+    seq = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]] * 2)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        loss, g = jax.value_and_grad(lambda p: token_lm_loss(p, lm_cfg, seq))(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(150):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 0.3
+    gen = token_lm_generate(params, lm_cfg, batch_size=1, length=8,
+                            key=jax.random.key(0), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(gen)[0], [1, 2, 3, 4, 5, 6, 7, 8])
+
+
+def test_semantic_branch_forward_and_grads():
+    cfg = tiny_config()
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = True
+    from audiotokenization_tpu.models import codec as C
+
+    params = C.init_codec(jax.random.key(0), cfg)
+    assert "semantic" in params
+    rng = np.random.RandomState(0)
+    B, T = 2, 800
+    Tf = T // 10
+    batch = {
+        "wav": jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1),
+        "semantic_target": jnp.asarray(rng.randn(B, 1024, Tf).astype(np.float32)),
+    }
+    out = C.forward(params, cfg, batch, training=True)
+    assert out.semantic_recon_loss is not None
+    assert np.isfinite(float(out.semantic_recon_loss))
+    assert out.gen_wav.shape == (B, 1, T)
+
+    # gradients flow to semantic heads
+    def loss_fn(p):
+        o = C.forward(p, cfg, batch, training=True)
+        return jnp.mean(jnp.square(o.gen_wav)) + o.semantic_recon_loss
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = float(optax.global_norm(g["semantic"]))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_semantic_train_step():
+    cfg = tiny_config()
+    cfg.train.use_semantic = True
+    from audiotokenization_tpu.train.state import init_train_state
+    from audiotokenization_tpu.train.step import jit_train_step
+
+    state = init_train_state(jax.random.key(0), cfg)
+    rng = np.random.RandomState(1)
+    batch = {
+        "wav": jnp.asarray(rng.randn(2, 800).astype(np.float32) * 0.1),
+        "semantic_target": jnp.asarray(rng.randn(2, 1024, 80).astype(np.float32)),
+    }
+    state1, metrics = jit_train_step(cfg)(state, batch)
+    assert np.isfinite(float(metrics["semantic_recon_loss"]))
+    assert np.isfinite(float(metrics["gen_loss"]))
