@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 
 def _mse(x, target):
+    x = x.astype(jnp.float32)  # fp32 loss accumulation under bf16 compute
     return jnp.mean(jnp.square(x - target))
 
 
@@ -43,5 +44,6 @@ def feature_matching_loss(fake_outs: Sequence[Sequence[jnp.ndarray]],
     loss = 0.0
     for f_list, r_list in zip(fake_outs, real_outs):
         for f, r in zip(f_list[:-1], r_list[:-1]):
-            loss += jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+            diff = f.astype(jnp.float32) - jax.lax.stop_gradient(r).astype(jnp.float32)
+            loss += jnp.mean(jnp.abs(diff))
     return loss

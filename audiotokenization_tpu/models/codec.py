@@ -97,8 +97,25 @@ def codes_to_emb(params, cfg: Config, codes, *, proj: bool = True):
     return jnp.swapaxes(emb, 1, 2)
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree)
+
+
 def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = False):
-    """Full forward (lightning_module.py:225-278), without the semantic branch."""
+    """Full forward (lightning_module.py:225-278), without the semantic branch.
+
+    Mixed precision: with cfg.train.precision == 'bf16' (the reference trains
+    '16-mixed', config/train/default.yaml:6), the conv/attention stacks run in
+    bfloat16 while the quantizer distance/losses stay fp32 (the reference
+    forces fp32 inside quantizers/norms too — SURVEY.md §2.8). Params remain
+    fp32 master copies; casting happens at trace time, so XLA folds it into
+    the first use of each weight.
+    """
+    if training and cfg.train.precision == "bf16":
+        params = _cast_tree(params, jnp.bfloat16)
+        batch = _cast_tree(dict(batch), jnp.bfloat16)
     wav = batch["wav"]
     latents = encode(params, cfg, wav)
     if cfg.train.use_semantic:

@@ -142,6 +142,8 @@ def spec_discriminator_apply(params, x, *, fft_sizes=(128, 256, 512, 1024, 2048)
     results = []
     for i, (nf, hp, wl) in enumerate(zip(fft_sizes, hop_sizes, win_lengths)):
         mag = stft_magnitude(wav, n_fft=nf, hop_length=hp, win_length=wl)  # (B, T', F)
+        # STFT runs fp32; match the discriminator's compute dtype afterwards
+        mag = mag.astype(get_weight(params["discs"][i]["layers"][0]).dtype)
         spec = jnp.swapaxes(mag, 1, 2)[:, None]  # (B, 1, F, T')
         results.append(nlayer_spec_discriminator(
             params["discs"][i], spec, downsample_scales=downsample_scales))

@@ -45,8 +45,14 @@ from .state import TrainState, make_optimizers
 
 def make_disc_forward(cfg: Config):
     m = cfg.model
+    bf16 = cfg.train.precision == "bf16"
 
     def disc_forward(disc_params, wav):
+        if bf16:
+            from ..models.codec import _cast_tree
+
+            disc_params = _cast_tree(disc_params, jnp.bfloat16)
+            wav = wav.astype(jnp.bfloat16)
         outs = mpd_apply(disc_params["mpd"], wav, periods=tuple(m.mpd.periods))
         outs += spec_discriminator_apply(
             disc_params["spec"], wav,

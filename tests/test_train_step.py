@@ -14,6 +14,7 @@ from audiotokenization_tpu.parallel.mesh import make_data_mesh, shard_batch
 
 def tiny_config() -> Config:
     cfg = Config()
+    cfg.train.precision = "fp32"  # numeric tests compare exactly; bf16 tested separately
     e = cfg.model.codec_encoder
     e.ngf = 4
     e.out_channels = 32
@@ -81,6 +82,21 @@ def test_train_step_gen_sees_updated_disc():
     gb = jax.tree.leaves(s_b.gen_params)
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(ga, gb))
+
+
+def test_train_step_bf16_mixed_precision():
+    """bf16 compute path: params stay fp32 masters, losses finite, step runs."""
+    cfg = tiny_config()
+    cfg.train.precision = "bf16"
+    state = init_train_state(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    batch = {"wav": jnp.asarray((rng.randn(2, 800) * 0.1).astype(np.float32))}
+    state1, metrics = jit_train_step(cfg)(state, batch)
+    for k in ("disc_loss", "gen_loss", "mel_loss", "vq_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # master params remain fp32
+    assert all(l.dtype == np.float32 for l in jax.tree.leaves(state1.gen_params)
+               if hasattr(l, "dtype") and np.issubdtype(l.dtype, np.floating))
 
 
 def test_train_step_data_parallel_matches_single_device():
