@@ -70,25 +70,40 @@ def load_clip(path, *, sample_rate: int, min_audio_length: int,
 
 
 class AudioDataset:
-    """Map-style dataset over a filelist."""
+    """Map-style dataset over a filelist.
+
+    semantic_dir: optional directory of precomputed w2v-bert targets
+    (<stem>.npy, (1024, Tf) — see cli/precompute_semantic.py); when set,
+    items also carry a "semantic_target" aligned to the clip's frames.
+    """
 
     def __init__(self, split: DatasetSplit, *, sample_rate: int,
                  pad_to_multiple_of: int, root: Optional[str] = None,
-                 train: bool = False):
+                 train: bool = False, semantic_dir: Optional[str] = None,
+                 hop_length: int = 200):
         self.files = read_filelist(split.filelist, root)
         self.split = split
         self.sample_rate = sample_rate
         self.pad_to_multiple_of = pad_to_multiple_of
         self.train = train
+        self.semantic_dir = Path(semantic_dir) if semantic_dir else None
+        self.hop_length = hop_length
 
     def __len__(self):
         return len(self.files)
 
-    def get(self, idx: int, rng=None) -> np.ndarray:
-        return load_clip(self.files[idx], sample_rate=self.sample_rate,
-                         min_audio_length=self.split.min_audio_length,
-                         pad_to_multiple_of=self.pad_to_multiple_of,
-                         train=self.train, rng=rng)
+    def get(self, idx: int, rng=None):
+        wav = load_clip(self.files[idx], sample_rate=self.sample_rate,
+                        min_audio_length=self.split.min_audio_length,
+                        pad_to_multiple_of=self.pad_to_multiple_of,
+                        train=self.train, rng=rng)
+        if self.semantic_dir is None:
+            return wav
+        sem = np.load(self.semantic_dir / (Path(self.files[idx]).stem + ".npy"))
+        tf = len(wav) // self.hop_length
+        if sem.shape[1] < tf:
+            sem = np.pad(sem, ((0, 0), (0, tf - sem.shape[1])))
+        return wav, sem[:, :tf].astype(np.float32)
 
 
 class DataLoader:
@@ -133,14 +148,27 @@ class DataLoader:
         seed_of = dict(zip(indices.tolist(), seeds.tolist()))
 
         def load_batch(batch_idx):
-            clips = [self.ds.get(int(i), np.random.RandomState(seed_of[int(i)]))
+            items = [self.ds.get(int(i), np.random.RandomState(seed_of[int(i)]))
                      for i in batch_idx]
+            sems = None
+            if isinstance(items[0], tuple):
+                clips = [it[0] for it in items]
+                sems = [it[1] for it in items]
+            else:
+                clips = items
             max_len = max(len(c) for c in clips)
             wav = np.zeros((len(clips), max_len), np.float32)
             for j, c in enumerate(clips):
                 wav[j, :len(c)] = c
-            return {"wav": wav,
-                    "lengths": np.asarray([len(c) for c in clips], np.int32)}
+            batch = {"wav": wav,
+                     "lengths": np.asarray([len(c) for c in clips], np.int32)}
+            if sems is not None:
+                tf = max(s.shape[1] for s in sems)
+                sem = np.zeros((len(sems), sems[0].shape[0], tf), np.float32)
+                for j, s in enumerate(sems):
+                    sem[j, :, :s.shape[1]] = s
+                batch["semantic_target"] = sem
+            return batch
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
