@@ -36,7 +36,11 @@ def _vq_argmin_kernel(enc_ref, cbn_t_ref, sc_ref, idx_ref):
     norm = jnp.sqrt(jnp.sum(enc * enc, axis=1, keepdims=True))
     enc_n = enc / jnp.maximum(norm, 1e-12)
     se = jnp.sum(enc_n * enc_n, axis=1, keepdims=True)  # (TILE_M, 1), ~1.0
-    cross = jnp.dot(enc_n, cbn_t_ref[:], preferred_element_type=jnp.float32)
+    # fp32 inputs + HIGHEST: exact fp32 MXU accumulation, pinned explicitly so
+    # the ambient jax.default_matmul_precision cannot change kernel numerics
+    # (Mosaic also rejects the intermediate HIGH setting).
+    cross = jnp.dot(enc_n, cbn_t_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     dist = se - 2.0 * cross + sc_ref[:]  # (TILE_M, N)
     idx_ref[:] = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
 

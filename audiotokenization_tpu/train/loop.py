@@ -49,10 +49,15 @@ def make_eval_step(cfg: Config, mesh=None):
 
 
 def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
-                   compute_stoi: bool = True, max_batches: Optional[int] = None):
+                   compute_stoi: bool = True, max_batches: Optional[int] = None,
+                   artifact_dir: Optional[str] = None, step: int = 0):
+    """Validation pass. With artifact_dir set, dumps reconstructed audio +
+    spectrograms for cfg.dataset.val.log_idxs batches (the wandb
+    audio/spectrogram logging of lightning_module.py:434-447, file-based)."""
     eval_step = make_eval_step(cfg, mesh)
     agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
     hist = None
+    log_idxs = set(cfg.dataset.val.log_idxs or ())
     for i, batch in enumerate(val_loader):
         if max_batches is not None and i >= max_batches:
             break
@@ -60,6 +65,11 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
         if mesh is not None:
             b = shard_batch(mesh, b)
         out = eval_step(gen_params, b)
+        if artifact_dir is not None and i in log_idxs:
+            _dump_val_artifacts(artifact_dir, i, step,
+                                np.asarray(out["gt_wav"])[0, 0],
+                                np.asarray(out["gen_wav"])[0, 0],
+                                cfg.dataset.sample_rate)
         agg["si_snr"].append(float(out["si_snr"]))
         agg["si_sdr"].append(float(out["si_sdr"]))
         h = np.asarray(out["codebook_hist"])
@@ -82,10 +92,32 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
     return results
 
 
+def _dump_val_artifacts(artifact_dir, batch_idx, step, gt, gen, sr):
+    from pathlib import Path
+
+    from ..data.audio_io import write_wav
+
+    d = Path(artifact_dir) / f"val_batch_{batch_idx}"
+    d.mkdir(parents=True, exist_ok=True)
+    write_wav(d / f"step{step}_original.wav", gt, sr)
+    write_wav(d / f"step{step}_reconstructed.wav", gen, sr)
+    try:
+        from ..cli.inference_full import _save_spectrogram_png
+
+        _save_spectrogram_png(d / f"step{step}_spec.png", gt, gen, sr)
+    except Exception:
+        pass
+
+
 def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
           use_mesh: bool = True, max_steps: Optional[int] = None,
-          logger: Optional[MetricsLogger] = None):
-    """Main entry: loops batches through the jitted step until max_steps."""
+          logger: Optional[MetricsLogger] = None,
+          profile_steps: Optional[tuple] = None):
+    """Main entry: loops batches through the jitted step until max_steps.
+
+    profile_steps=(start, stop): capture a jax.profiler device trace between
+    those steps into <run_dir>/profile (SURVEY.md §5.1 tracing hook).
+    """
     mesh = make_data_mesh() if use_mesh and len(jax.devices()) > 1 else None
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
     ckpt = CheckpointManager(run_dir, cfg)
@@ -105,8 +137,13 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
             b = {"wav": jnp.asarray(batch["wav"])}
             if mesh is not None:
                 b = shard_batch(mesh, b)
+            if profile_steps and step == profile_steps[0]:
+                jax.profiler.start_trace(str(run_dir) + "/profile")
             state, metrics = step_fn(state, b)
             step += 1
+            if profile_steps and step == profile_steps[1]:
+                jax.block_until_ready(metrics["gen_loss"])
+                jax.profiler.stop_trace()
             h = metrics.pop("codebook_hist")
             hist_accum = h if hist_accum is None else hist_accum + h
             if step % cfg.train.log_every_n_steps == 0:
@@ -120,7 +157,8 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
                 hist_accum = None
                 logger.log(logs, step)
             if val_loader is not None and step % cfg.train.val_every_n_steps == 0:
-                val = run_validation(cfg, state.gen_params, val_loader, mesh=mesh)
+                val = run_validation(cfg, state.gen_params, val_loader, mesh=mesh,
+                                     artifact_dir=run_dir, step=step)
                 logger.log(val, step)
             if step % cfg.train.checkpoint_every_n_steps == 0 or step == max_steps:
                 mel = metrics.get("mel_loss")

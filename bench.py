@@ -23,24 +23,26 @@ def main():
     cfg = Config()
     params = C.init_codec(jax.random.key(0), cfg)
 
-    # K distinct batches are tokenized inside ONE jitted call (lax.map), so the
-    # measurement reflects sustained device throughput rather than per-call
-    # host/tunnel round-trip latency (which dominates on remote-attached chips).
-    B, SR, K = 32, 16000, 16
+    # K distinct batches are tokenized inside ONE jitted call (lax.map) and the
+    # timing ends with a tiny (4-byte) fetch, so the measurement reflects
+    # sustained device throughput rather than host/tunnel transfer latency
+    # (block_until_ready is unreliable on remote-attached chips).
+    # This measures the CONFORMANT path: C.tokenize forces full-fp32 matmul
+    # accumulation for bit-exact index parity with the reference.
+    B, SR, K = 32, 16000, 4
     wavs = jnp.asarray(np.random.RandomState(0).randn(K, B, SR).astype(np.float32) * 0.1)
 
     @jax.jit
     def tokenize_many(params, wavs):
         return jax.lax.map(lambda w: C.tokenize(params, cfg, w), wavs)
 
-    jax.block_until_ready(tokenize_many(params, wavs))  # compile + warmup
+    np.asarray(tokenize_many(params, wavs)[0, 0, :1])  # compile + warmup
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         codes = tokenize_many(params, wavs)
-        jax.block_until_ready(codes)
-        np.asarray(codes)  # force full host round trip
+        np.asarray(codes[0, 0, :1])  # forces execution; negligible transfer
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_seconds = K * B * 1.0

@@ -82,7 +82,7 @@ def test_ema_vq_psum_matches_local_single_device():
     from jax.sharding import PartitionSpec as P
 
     res_sm = shard_map(f, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-                       check_rep=False)(state, x)
+                       check_vma=False)(state, x)
     res_local = ema_vq_apply(state, x, training=True, rng=jax.random.key(0))
     np.testing.assert_allclose(np.asarray(res_sm.state["embed"]),
                                np.asarray(res_local.state["embed"]), rtol=1e-5)
