@@ -28,6 +28,7 @@ class CodecOutput(NamedTuple):
     vq_loss: jnp.ndarray       # (Nq,)
     vq_code: jnp.ndarray       # (Nq, B, T_frames)
     semantic_recon_loss: jnp.ndarray | None = None
+    quantizer_state: Any = None  # updated non-gradient quantizer state (EMA path)
 
 
 def encode(params, cfg: Config, wav):
@@ -49,23 +50,48 @@ def encode(params, cfg: Config, wav):
     raise ValueError(f"unknown encoder type {e.type}")
 
 
-def quantize(params, cfg: Config, latents, *, training: bool = False):
-    """latents (B, C, Tf) -> (quantized (B, C, Tf), codes (Nq, B, Tf), loss (Nq,)).
+def quantize(params, cfg: Config, latents, *, training: bool = False,
+             with_state: bool = False):
+    """latents (B, C, Tf) -> (quantized (B, C, Tf), codes (Nq, B, Tf), loss (Nq,))
+    [, updated quantizer state when with_state=True].
 
     Matches decoder.forward(x, vq=True) (codec_decoder.py:85-92): FSQ returns
-    zero commit loss; the default path is the factorized ResidualVQ.
+    zero commit loss; the default path is the factorized ResidualVQ. The
+    ema_vq / lfq selections expose the quantizer-zoo members as drop-in codec
+    quantizers; EMA codebook statistics are state, returned separately and
+    swapped into gen_params by the train step after the optimizer update.
     """
     d = cfg.model.codec_decoder
     q = "fsq" if d.fsq else d.quantizer
+    qstate = None
     if q == "fsq":
         zq, codes = fsq_apply(params["quantizer"], latents, levels=tuple(d.fsq_levels))
-        loss = jnp.zeros((1,), latents.dtype)
-        return zq, codes[None], loss
-    if q == "fvq":
-        return fvq.residual_vq_apply(
+        out = zq, codes[None], jnp.zeros((1,), latents.dtype)
+    elif q == "fvq":
+        out = fvq.residual_vq_apply(
             params["quantizer"], latents, num_quantizers=d.vq_num_quantizers,
             commitment=d.vq_commit_weight, training=training)
-    raise ValueError(f"unknown quantizer {q}")
+    elif q == "ema_vq":
+        from .quantizers.ema_vq import ema_vq_apply
+
+        salt = jnp.sum((latents[:, 0, 0] * 1e3).astype(jnp.int32) % 7919)
+        rng = jax.random.fold_in(jax.random.key(0), salt)
+        res = ema_vq_apply(params["quantizer"], latents, training=training,
+                           commitment=d.vq_commit_weight, rng=rng)
+        out = res.quantized, res.indices[None], jnp.mean(res.loss)[None]
+        qstate = res.state
+    elif q == "lfq":
+        from .quantizers.lfq import lfq_apply
+
+        res = lfq_apply(latents, commit_weight=d.vq_commit_weight,
+                        training=training)
+        out = (res.quantized, res.indices[None],
+               jnp.stack([jnp.mean(res.commit_loss) + res.entropy_aux_loss]))
+    else:
+        raise ValueError(f"unknown quantizer {q}")
+    if with_state:
+        return out + (qstate,)
+    return out
 
 
 def decode(params, cfg: Config, quantized):
@@ -122,10 +148,11 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
         from .semantic import semantic_forward
 
         return semantic_forward(params, cfg, batch, latents, training=training)
-    zq, codes, vq_loss = quantize(params, cfg, latents, training=training)
+    zq, codes, vq_loss, qstate = quantize(params, cfg, latents, training=training,
+                                          with_state=True)
     gen = decode(params, cfg, zq)
     return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
-                       vq_code=codes)
+                       vq_code=codes, quantizer_state=qstate)
 
 
 def tokenize(params, cfg: Config, wav):
@@ -178,6 +205,12 @@ def init_codec(key, cfg: Config) -> Dict[str, Any]:
         from .quantizers.fsq import init_fsq
 
         q = init_fsq(k_q, dim=d.in_channels, levels=tuple(d.fsq_levels))
+    elif d.quantizer == "ema_vq":
+        from .quantizers.ema_vq import init_ema_vq
+
+        q = init_ema_vq(k_q, codebook_size=d.codebook_size, dim=d.in_channels)
+    elif d.quantizer == "lfq":
+        q = {}  # lookup-free: no parameters (codebook_dim = latent dim = bits)
     else:
         q = fvq.init_residual_vq(k_q, num_quantizers=d.vq_num_quantizers,
                                  dim=d.in_channels, codebook_size=d.codebook_size,

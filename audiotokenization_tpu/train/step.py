@@ -77,13 +77,14 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         out = codec.forward(gen_params, cfg, batch, training=True)
         sem = out.semantic_recon_loss
         diff = (out.gen_wav, out.vq_loss) + ((sem,) if sem is not None else ())
-        return diff, out.vq_code
+        aux = (out.vq_code, jax.lax.stop_gradient(out.quantizer_state))
+        return diff, aux
 
     def step_fn(state: TrainState, batch: Dict[str, Any]):
         y = batch["wav"][:, None, :]
 
         # --- 1. shared generator forward, linearized once
-        diff_out, gen_vjp, vq_code = jax.vjp(
+        diff_out, gen_vjp, (vq_code, qstate) = jax.vjp(
             functools.partial(gen_forward, batch=batch), state.gen_params,
             has_aux=True)
         y_ = diff_out[0]
@@ -150,6 +151,11 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         gen_updates, gen_opt_state = gen_tx.update(
             gen_grads, state.gen_opt_state, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
+        if qstate is not None:
+            # EMA-codebook quantizers: the codebook is state, not a gradient
+            # parameter — overwrite with the forward pass's EMA update
+            # (discards the optimizer's spurious weight-decay on those leaves).
+            gen_params = {**gen_params, "quantizer": qstate}
 
         new_state = TrainState(
             step=state.step + 1,

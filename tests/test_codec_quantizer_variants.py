@@ -1,0 +1,60 @@
+"""End-to-end codec tests with alternate quantizers (FSQ / EMA-VQ / LFQ)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiotokenization_tpu.train.state import init_train_state
+from audiotokenization_tpu.train.step import jit_train_step
+
+from test_train_step import tiny_config
+
+
+def _batch(seed=0, B=2, T=800):
+    rng = np.random.RandomState(seed)
+    return {"wav": jnp.asarray((rng.randn(B, T) * 0.1).astype(np.float32))}
+
+
+def test_codec_fsq_end_to_end():
+    cfg = tiny_config()
+    d = cfg.model.codec_decoder
+    d.fsq = True
+    d.fsq_levels = (4, 4, 4)
+    d.codebook_size = 64
+    state = init_train_state(jax.random.key(0), cfg)
+    state1, metrics = jit_train_step(cfg)(state, _batch())
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert float(metrics["vq_loss"]) == 0.0  # FSQ has no commit loss
+    assert metrics["codebook_hist"].shape == (64,)
+
+
+def test_codec_ema_vq_end_to_end():
+    cfg = tiny_config()
+    d = cfg.model.codec_decoder
+    d.quantizer = "ema_vq"
+    d.codebook_size = 64
+    state = init_train_state(jax.random.key(1), cfg)
+    embed0 = np.asarray(state.gen_params["quantizer"]["embed"])
+    step = jit_train_step(cfg)
+    batch = _batch(1)
+    s = state
+    for _ in range(3):
+        s, metrics = step(s, batch)
+    assert np.isfinite(float(metrics["gen_loss"]))
+    embed1 = np.asarray(s.gen_params["quantizer"]["embed"])
+    assert not np.allclose(embed0, embed1)  # EMA updated the codebook
+    # EMA state statistics are tracked
+    assert float(np.asarray(s.gen_params["quantizer"]["cluster_size"]).sum()) > 0
+
+
+def test_codec_lfq_end_to_end():
+    cfg = tiny_config()
+    d = cfg.model.codec_decoder
+    d.quantizer = "lfq"
+    d.in_channels = 8          # 8 bits -> 256 codes
+    d.codebook_size = 256
+    cfg.model.codec_encoder.out_channels = 8
+    d.upsample_initial_channel = 16
+    state = init_train_state(jax.random.key(2), cfg)
+    state1, metrics = jit_train_step(cfg)(state, _batch(2))
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert metrics["codebook_hist"].shape == (256,)
