@@ -81,7 +81,11 @@ def main(argv=None):
     hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
         if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
 
-    filelist = args.filelist or cfg.dataset.test.filelist
+    filelist = (args.filelist or cfg.dataset.test.filelist
+                or cfg.dataset.val.filelist or cfg.dataset.train.filelist)
+    if not filelist:
+        raise SystemExit("no eval filelist: pass --filelist (config has no "
+                         "dataset.test/val/train filelist)")
     dur = None if args.duration is None or args.duration <= 0 else args.duration
     split = DatasetSplit(
         filelist=filelist,
