@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused BigCodec ResidualUnit.
+
+The encoder/decoder hot loop is a stack of ResidualUnits
+(reference: BigCodec_SSL/vq/module.py:74-89):
+
+    out = x + W1 @ snake2( W7 *d snake1(x) ) + biases
+
+Unfused, that's 4 HBM round trips of the (B, C, T) activation per unit
+(snake -> conv7 -> snake -> conv1 -> add). This kernel keeps one (C, TILE_T)
+window (plus the dilated-conv halo) and both weight tensors resident in VMEM
+and performs the whole unit in a single pass: the k=7 dilated conv is 7
+shifted (C,C)x(C,TILE_T) MXU matmuls accumulated in fp32, the snakes run on
+the VPU between them, and only the final residual output is written back.
+
+The overlapping halo window is DMA'd from HBM per grid step (double-buffered
+by the pipeline); the weights' BlockSpecs have constant index maps, so they
+are fetched once per launch and stay in VMEM across the whole (B x T) grid.
+Supported for C <= 512 (VMEM budget: 7*C^2*4B for W7); the 768-channel stage
+falls back to the XLA path, which is compute-bound there anyway
+(conv-as-matmul measured at identical fp32 throughput to XLA's own lowering).
+
+Numerics: fp32 with HIGHEST-precision dots — matches the XLA oracle to float
+roundoff (tested in interpret mode and on device), safe for the token-parity
+path. Inference/tokenize only (no custom VJP yet); training uses XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_T = 512
+_EPS = 1e-9
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _unit_kernel(dilation, xc_ref, xpad_hbm, w7_ref, b7_ref, w1_ref, b1_ref,
+                 a1_ref, be1_ref, a2_ref, be2_ref, out_ref, win_scratch, sem):
+    pad = 3 * dilation
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    # halo window (C, TILE_T + 2*pad) from the padded input in HBM
+    dma = pltpu.make_async_copy(
+        xpad_hbm.at[b, :, pl.ds(t * TILE_T, TILE_T + 2 * pad)],
+        win_scratch, sem)
+    dma.start()
+    dma.wait()
+
+    win = win_scratch[:, :]
+    a1 = jnp.exp(a1_ref[:])[:, None]
+    b1s = jnp.exp(be1_ref[:])[:, None]
+    s = jnp.sin(win * a1)
+    s1 = win + (1.0 / (b1s + _EPS)) * (s * s)
+
+    acc = jnp.zeros((w7_ref.shape[0], TILE_T), jnp.float32)
+    for k in range(7):
+        acc += jax.lax.dot_general(
+            w7_ref[:, :, k], s1[:, k * dilation:k * dilation + TILE_T],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HP)
+    y = acc + b7_ref[:][:, None]
+
+    a2 = jnp.exp(a2_ref[:])[:, None]
+    b2s = jnp.exp(be2_ref[:])[:, None]
+    s = jnp.sin(y * a2)
+    s2 = y + (1.0 / (b2s + _EPS)) * (s * s)
+
+    z = jax.lax.dot_general(
+        w1_ref[:, :, 0], s2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP) + b1_ref[:][:, None]
+    out_ref[0] = xc_ref[0] + z
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
+def _fused_call(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
+    B, C, T = x.shape
+    pad = 3 * dilation
+    t_pad = -(-T // TILE_T) * TILE_T
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad + t_pad - T)))
+    xc = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - T)))
+    grid = (B, t_pad // TILE_T)
+    win = TILE_T + 2 * pad
+    const = lambda b, t: (0,)
+    out = pl.pallas_call(
+        functools.partial(_unit_kernel, dilation),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input stays in HBM
+            pl.BlockSpec((C, C, 7), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C, 1), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, t_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, win), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xc, xp, w7, b7, w1, b1, a1, be1, a2, be2)
+    return out[:, :, :T]
+
+
+def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None):
+    """Drop-in replacement for models.bigcodec.residual_unit (non-causal,
+    non-antialiased, inference). x: (B, C, T) fp32."""
+    from ..conv import get_weight
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w7 = get_weight(params["conv1"]).astype(jnp.float32)
+    w1 = get_weight(params["conv2"]).astype(jnp.float32)
+    return _fused_call(
+        x.astype(jnp.float32), w7, params["conv1"]["b"].astype(jnp.float32),
+        w1, params["conv2"]["b"].astype(jnp.float32),
+        params["snake1"]["alpha"].astype(jnp.float32),
+        params["snake1"]["beta"].astype(jnp.float32),
+        params["snake2"]["alpha"].astype(jnp.float32),
+        params["snake2"]["beta"].astype(jnp.float32),
+        dilation=dilation, interpret=interpret)
+
+
+def fusable(params, x) -> bool:
+    """Kernel applicability: non-causal k7 ResidualUnit with C <= 512 (VMEM)."""
+    from ..conv import get_weight
+
+    C = x.shape[1]
+    return C <= 512 and get_weight(params["conv1"]).shape[-1] == 7

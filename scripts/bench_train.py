@@ -4,9 +4,13 @@ Prints one JSON line: steps/sec and audio-seconds trained/sec for the
 flagship config at the reference's batch size (32 x 1 s), fp32 and bf16.
 """
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

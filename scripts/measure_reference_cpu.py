@@ -5,6 +5,9 @@ Run from repo root: python scripts/measure_reference_cpu.py
 """
 import json
 import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import sys
 import time
 import types
 from pathlib import Path
