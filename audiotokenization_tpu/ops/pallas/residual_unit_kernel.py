@@ -38,19 +38,25 @@ _EPS = 1e-9
 _HP = jax.lax.Precision.HIGHEST
 
 
+def _win_size(pad: int) -> int:
+    """Halo window, rounded up to the 128-lane tile so HBM slices stay aligned."""
+    return -(-(TILE_T + 2 * pad) // 128) * 128
+
+
 def _unit_kernel(dilation, xc_ref, xpad_hbm, w7_ref, b7_ref, w1_ref, b1_ref,
                  a1_ref, be1_ref, a2_ref, be2_ref, out_ref, win_scratch, sem):
     pad = 3 * dilation
     b = pl.program_id(0)
     t = pl.program_id(1)
-    # halo window (C, TILE_T + 2*pad) from the padded input in HBM
+    # lane-aligned halo window from the padded input in HBM (starts are
+    # multiples of TILE_T=512; size padded to a multiple of 128)
     dma = pltpu.make_async_copy(
-        xpad_hbm.at[b, :, pl.ds(t * TILE_T, TILE_T + 2 * pad)],
+        xpad_hbm.at[b, :, pl.ds(t * TILE_T, _win_size(pad))],
         win_scratch, sem)
     dma.start()
     dma.wait()
 
-    win = win_scratch[:, :]
+    win = win_scratch[:, :TILE_T + 2 * pad]
     a1 = jnp.exp(a1_ref[:])[:, None]
     b1s = jnp.exp(be1_ref[:])[:, None]
     s = jnp.sin(win * a1)
@@ -80,10 +86,11 @@ def _fused_call(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
     B, C, T = x.shape
     pad = 3 * dilation
     t_pad = -(-T // TILE_T) * TILE_T
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad + t_pad - T)))
+    win = _win_size(pad)
+    # right-pad so the last tile's aligned window stays in bounds
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, win - pad + t_pad - T)))
     xc = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - T)))
     grid = (B, t_pad // TILE_T)
-    win = TILE_T + 2 * pad
     const = lambda b, t: (0,)
     out = pl.pallas_call(
         functools.partial(_unit_kernel, dilation),
@@ -104,14 +111,78 @@ def _fused_call(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
         out_specs=pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, t_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, win), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, _win_size(pad)), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(xc, xp, w7, b7, w1, b1, a1, be1, a2, be2)
     return out[:, :, :T]
 
 
-def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None):
+def _unit_kernel_v2(dilation, prev_ref, cur_ref, next_ref, w7_ref, b7_ref,
+                    w1_ref, b1_ref, a1_ref, be1_ref, a2_ref, be2_ref, out_ref):
+    """Pipelined variant: halo assembled from neighbor blocks loaded through
+    standard (double-buffered) BlockSpecs — no manual DMA stall."""
+    pad = 3 * dilation
+    win = jnp.concatenate(
+        [prev_ref[0, :, TILE_T - pad:], cur_ref[0], next_ref[0, :, :pad]], axis=1)
+    a1 = jnp.exp(a1_ref[:])[:, None]
+    b1s = jnp.exp(be1_ref[:])[:, None]
+    s = jnp.sin(win * a1)
+    s1 = win + (1.0 / (b1s + _EPS)) * (s * s)
+
+    acc = jnp.zeros((w7_ref.shape[0], TILE_T), jnp.float32)
+    for k in range(7):
+        acc += jax.lax.dot_general(
+            w7_ref[:, :, k], s1[:, k * dilation:k * dilation + TILE_T],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HP)
+    y = acc + b7_ref[:][:, None]
+
+    a2 = jnp.exp(a2_ref[:])[:, None]
+    b2s = jnp.exp(be2_ref[:])[:, None]
+    s = jnp.sin(y * a2)
+    s2 = y + (1.0 / (b2s + _EPS)) * (s * s)
+
+    z = jax.lax.dot_general(
+        w1_ref[:, :, 0], s2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP) + b1_ref[:][:, None]
+    out_ref[0] = cur_ref[0] + z
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
+def _fused_call_v2(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
+    B, C, T = x.shape
+    t_pad = -(-T // TILE_T) * TILE_T
+    # one guard tile of zeros on each side so t-1 / t+1 block reads are in range
+    xp = jnp.pad(x, ((0, 0), (0, 0), (TILE_T, TILE_T + t_pad - T)))
+    grid = (B, t_pad // TILE_T)
+    const = lambda b, t: (0,)
+    blk = lambda off: pl.BlockSpec((1, C, TILE_T), lambda b, t, off=off: (b, 0, t + off),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_unit_kernel_v2, dilation),
+        grid=grid,
+        in_specs=[
+            blk(0), blk(1), blk(2),
+            pl.BlockSpec((C, C, 7), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C, 1), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, t_pad), jnp.float32),
+        interpret=interpret,
+    )(xp, xp, xp, w7, b7, w1, b1, a1, be1, a2, be2)
+    return out[:, :, :T]
+
+
+def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None,
+                        version: int = 2):
     """Drop-in replacement for models.bigcodec.residual_unit (non-causal,
     non-antialiased, inference). x: (B, C, T) fp32."""
     from ..conv import get_weight
@@ -120,7 +191,8 @@ def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = No
         interpret = jax.default_backend() != "tpu"
     w7 = get_weight(params["conv1"]).astype(jnp.float32)
     w1 = get_weight(params["conv2"]).astype(jnp.float32)
-    return _fused_call(
+    call = _fused_call_v2 if version == 2 else _fused_call
+    return call(
         x.astype(jnp.float32), w7, params["conv1"]["b"].astype(jnp.float32),
         w1, params["conv2"]["b"].astype(jnp.float32),
         params["snake1"]["alpha"].astype(jnp.float32),

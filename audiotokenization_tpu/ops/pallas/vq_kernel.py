@@ -64,11 +64,34 @@ def _vq_argmin_call(enc_pad, cbn_t, sc, *, interpret: bool):
     )(enc_pad, cbn_t, sc)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _vq_argmin_nondiff(enc, cbn_t, sc, interpret):
+    return _vq_argmin_call(enc, cbn_t, sc, interpret=interpret)
+
+
+def _vq_argmin_fwd(enc, cbn_t, sc, interpret):
+    shapes = (enc.shape, cbn_t.shape, sc.shape)
+    return _vq_argmin_nondiff(enc, cbn_t, sc, interpret), shapes
+
+
+def _vq_argmin_bwd(interpret, shapes, g):
+    # integer argmin output: zero cotangents (the surrounding VQ uses a
+    # straight-through estimator; no gradient flows through the index search)
+    import jax.numpy as _jnp
+
+    return tuple(_jnp.zeros(s, _jnp.float32) for s in shapes)
+
+
+_vq_argmin_nondiff.defvjp(_vq_argmin_fwd, _vq_argmin_bwd)
+
+
 def vq_argmin(enc, codebook, *, interpret: bool | None = None):
     """enc: (M, D) fp32 latents; codebook: (N, D). Returns (M,) int32 indices.
 
     D is zero-padded to the 128-lane width (zeros don't perturb norms or dot
-    products); M is padded to the tile size and trimmed after.
+    products); M is padded to the tile size and trimmed after. Wrapped in a
+    custom_vjp so the kernel is transparent to reverse-mode autodiff (the VQ
+    straight-through estimator never differentiates the index search).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -89,5 +112,5 @@ def vq_argmin(enc, codebook, *, interpret: bool | None = None):
 
     m_pad = -(-m // TILE_M) * TILE_M
     enc_pad = jnp.pad(enc, ((0, m_pad - m), (0, LANES - d)))
-    idx = _vq_argmin_call(enc_pad, cbn_t, sc, interpret=interpret)
+    idx = _vq_argmin_nondiff(enc_pad, cbn_t, sc, interpret)
     return idx[:m, 0]
