@@ -182,7 +182,16 @@ def _fused_call_v2(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
 
 
 def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None,
-                        version: int = 2):
+                        version: int = 1):
+    """Fused ResidualUnit.
+
+    Measured on one v5e chip (B=32, fp32-HIGHEST): XLA's unfused lowering
+    already hits the fp32 matmul ceiling for C >= 192 (conv-as-matmul A/B is
+    throughput-identical), so this kernel is an exact-numerics capability,
+    not the default path — v1 (manual-DMA halo) runs ~0.45x XLA at C=96; v2
+    (pipelined neighbor blocks) currently exceeds Mosaic's scoped-VMEM stack
+    and needs tile tuning. models/bigcodec keeps the XLA path as default.
+    """
     """Drop-in replacement for models.bigcodec.residual_unit (non-causal,
     non-antialiased, inference). x: (B, C, T) fp32."""
     from ..conv import get_weight

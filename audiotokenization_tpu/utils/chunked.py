@@ -1,0 +1,69 @@
+"""Chunked (blockwise) tokenization for long audio.
+
+The reference handles long files only by full-length batch-1 eval
+(SURVEY.md §5.7 — no sequence parallelism; data policy instead). On TPU,
+arbitrary-length jit shapes force recompiles, so this module provides the
+idiomatic extension: fixed-size chunked encoding with overlap.
+
+For CAUSAL encoder configs, chunking with left context is exact (the
+streaming-causality property is tested in test_parity_variants.py). For
+non-causal configs, each chunk is padded with `context` seconds of real
+audio on both sides and the context frames are dropped after quantization;
+with context >= the encoder's receptive field the interior tokens match the
+full-sequence tokens exactly, and edge effects are confined to the first and
+last chunk boundaries.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def receptive_field_samples(cfg) -> int:
+    """Conservative receptive-field bound of the BigCodec encoder in samples."""
+    e = cfg.model.codec_encoder
+    if e.type != "bigcodec":
+        return 4 * e.n_fft
+    rf = 7  # input conv
+    stride_prod = 1
+    for s in e.up_ratios:
+        # 3 residual units (k7, dilations up to 9) + down conv k=2s
+        rf += stride_prod * (sum((7 - 1) * d for d in e.dilations) + 2 * s)
+        stride_prod *= s
+    rf += stride_prod * 3  # final conv k3 (+ LSTM is causal-only influence)
+    return rf
+
+
+def tokenize_chunked(params, cfg, wav, *, chunk_seconds: float = 10.0,
+                     context_seconds: float | None = None):
+    """wav: (T,) arbitrary length -> (Nq, n_frames) tokens with fixed-shape jit.
+
+    One compile per (chunk, context) geometry regardless of input length.
+    """
+    from ..models import codec as C
+
+    sr = cfg.dataset.sample_rate
+    hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
+        if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
+    chunk = int(chunk_seconds * sr) // hop * hop
+    if context_seconds is None:
+        ctx = -(-receptive_field_samples(cfg) // hop) * hop
+    else:
+        ctx = int(context_seconds * sr) // hop * hop
+    T = len(wav)
+    total = -(-T // chunk) * chunk
+    padded = np.pad(np.asarray(wav), (ctx, ctx + total - T))
+
+    @jax.jit
+    def tok(params, w):
+        return C.tokenize(params, cfg, w[None])[:, 0]  # (Nq, frames)
+
+    pieces = []
+    for start in range(0, total, chunk):
+        window = jnp.asarray(padded[start:start + chunk + 2 * ctx])
+        codes = tok(params, window)  # (Nq, (chunk + 2*ctx)/hop)
+        c = ctx // hop
+        pieces.append(np.asarray(codes[:, c:c + chunk // hop]))
+    out = np.concatenate(pieces, axis=1)
+    return out[:, :T // hop]
