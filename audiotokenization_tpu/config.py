@@ -151,6 +151,7 @@ class ScheduleParams:
 class TrainConfig:
     max_steps: int = 600000
     precision: str = "bf16"  # bf16 | fp32 (reference: '16-mixed')
+    remat: bool = True  # jax.checkpoint on codec blocks + discriminators during training
     seed: int = 1024
     lambdas: Lambdas = field(default_factory=Lambdas)
     use_mel_loss: bool = True

@@ -108,13 +108,24 @@ def decoder_block(x, p, *, stride: int, dilations, causal: bool, aa: _AA):
 def bigcodec_encode(params, x, *, up_ratios=(2, 2, 2, 5, 5), dilations=(1, 3, 9),
                     use_rnn: bool = True, rnn_num_layers: int = 2,
                     rnn_bidirectional: bool = False, causal: bool = False,
-                    antialias: bool = False):
-    """x: (B, 1, T) waveform -> (B, out_channels, T/hop) latents."""
+                    antialias: bool = False, remat: bool = False):
+    """x: (B, 1, T) waveform -> (B, out_channels, T/hop) latents.
+
+    remat=True wraps each EncoderBlock in jax.checkpoint — activations are
+    recomputed in the backward pass instead of stored, trading ~1/3 more
+    FLOPs for the memory that lets the full GAN step fit a 16 GB chip at the
+    reference batch size (SURVEY.md §7 design note).
+    """
+    import functools
+
     aa = _AA(antialias)
     x = _wn_conv(x, params["conv_in"], padding=0 if causal else 3, causal=causal)
     for i, stride in enumerate(up_ratios):
-        x = encoder_block(x, params["blocks"][i], stride=stride, dilations=dilations,
-                          causal=causal, aa=aa)
+        block_fn = functools.partial(encoder_block, stride=stride,
+                                     dilations=dilations, causal=causal, aa=aa)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        x = block_fn(x, params["blocks"][i])
     if use_rnn:
         x = res_lstm(x, params["lstm"], num_layers=rnn_num_layers,
                      bidirectional=rnn_bidirectional)
@@ -126,16 +137,21 @@ def bigcodec_encode(params, x, *, up_ratios=(2, 2, 2, 5, 5), dilations=(1, 3, 9)
 def bigcodec_decode(params, x, *, up_ratios=(5, 5, 2, 2, 2), dilations=(1, 3, 9),
                     use_rnn: bool = True, rnn_num_layers: int = 2,
                     rnn_bidirectional: bool = False, causal: bool = False,
-                    antialias: bool = False):
+                    antialias: bool = False, remat: bool = False):
     """x: (B, in_channels, T_frames) quantized latents -> (B, 1, T) waveform."""
+    import functools
+
     aa = _AA(antialias)
     x = _wn_conv(x, params["conv_in"], padding=0 if causal else 3, causal=causal)
     if use_rnn:
         x = res_lstm(x, params["lstm"], num_layers=rnn_num_layers,
                      bidirectional=rnn_bidirectional)
     for i, stride in enumerate(up_ratios):
-        x = decoder_block(x, params["blocks"][i], stride=stride, dilations=dilations,
-                          causal=causal, aa=aa)
+        block_fn = functools.partial(decoder_block, stride=stride,
+                                     dilations=dilations, causal=causal, aa=aa)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        x = block_fn(x, params["blocks"][i])
     x = aa(x, params["snake_out"])
     x = _wn_conv(x, params["conv_out"], padding=0 if causal else 3, causal=causal)
     return jnp.tanh(x)

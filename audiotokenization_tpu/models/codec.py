@@ -31,7 +31,7 @@ class CodecOutput(NamedTuple):
     quantizer_state: Any = None  # updated non-gradient quantizer state (EMA path)
 
 
-def encode(params, cfg: Config, wav):
+def encode(params, cfg: Config, wav, *, remat: bool = False):
     """wav: (B, T) -> latents (B, C, T_frames)."""
     e = cfg.model.codec_encoder
     x = wav[:, None, :]
@@ -41,7 +41,7 @@ def encode(params, cfg: Config, wav):
             dilations=tuple(e.dilations), use_rnn=e.use_rnn,
             rnn_num_layers=e.rnn_num_layers,
             rnn_bidirectional=e.rnn_bidirectional, causal=e.causal,
-            antialias=e.antialias)
+            antialias=e.antialias, remat=remat)
     if e.type == "conformer_stft":
         return conformer.conformer_encode(
             params["encoder"], x, hop_length=e.hop_length, n_fft=e.n_fft,
@@ -94,7 +94,7 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
     return out
 
 
-def decode(params, cfg: Config, quantized):
+def decode(params, cfg: Config, quantized, *, remat: bool = False):
     """quantized latents (B, C, Tf) -> waveform (B, 1, T)."""
     d = cfg.model.codec_decoder
     if d.type == "bigcodec":
@@ -103,7 +103,7 @@ def decode(params, cfg: Config, quantized):
             dilations=tuple(d.dilations), use_rnn=d.use_rnn,
             rnn_num_layers=d.rnn_num_layers,
             rnn_bidirectional=d.rnn_bidirectional, causal=d.causal,
-            antialias=d.antialias)
+            antialias=d.antialias, remat=remat)
     if d.type == "conformer_istft":
         return conformer.conformer_decode(
             params["decoder"], quantized, hop_length=d.hop_length, n_fft=d.n_fft,
@@ -143,14 +143,15 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
         params = _cast_tree(params, jnp.bfloat16)
         batch = _cast_tree(dict(batch), jnp.bfloat16)
     wav = batch["wav"]
-    latents = encode(params, cfg, wav)
+    remat = training and cfg.train.remat
+    latents = encode(params, cfg, wav, remat=remat)
     if cfg.train.use_semantic:
         from .semantic import semantic_forward
 
         return semantic_forward(params, cfg, batch, latents, training=training)
     zq, codes, vq_loss, qstate = quantize(params, cfg, latents, training=training,
                                           with_state=True)
-    gen = decode(params, cfg, zq)
+    gen = decode(params, cfg, zq, remat=remat)
     return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
                        vq_code=codes, quantizer_state=qstate)
 

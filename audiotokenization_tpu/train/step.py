@@ -71,6 +71,10 @@ def make_train_step(cfg: Config, *, donate: bool = True):
     lam = tcfg.lambdas
     mel_loss = MultiResolutionMelLoss(sample_rate=cfg.dataset.sample_rate) if tcfg.use_mel_loss else None
     disc_forward = make_disc_forward(cfg)
+    if tcfg.remat:
+        # discriminator activations (5 MPD + 5 spec pyramids on raw-rate audio)
+        # dominate step memory; recompute them in the backward pass
+        disc_forward = jax.checkpoint(disc_forward)
     gen_tx, disc_tx = make_optimizers(cfg)
 
     def gen_forward(gen_params, batch):
