@@ -49,16 +49,27 @@ def build_argparser():
     return p
 
 
-def load_model(save_path):
-    """Returns (cfg, params). Dispatches framework vs reference layouts."""
+def load_model(save_path, *, fold: bool = True):
+    """Returns (cfg, params). Dispatches framework vs reference layouts.
+
+    fold=True folds weight-norm (g, v) pairs into plain weights — the
+    inference-time `remove_weight_norm` of the reference
+    (vq/codec_encoder.py:69-78): one weight tensor per conv instead of two.
+    """
     p = Path(save_path)
     if (p / "config.json").exists():
         from ..train.checkpoint import load_checkpoint_params
 
-        return load_checkpoint_params(p)
-    from ..convert import load_reference_checkpoint
+        cfg, params = load_checkpoint_params(p)
+    else:
+        from ..convert import load_reference_checkpoint
 
-    return load_reference_checkpoint(p)
+        cfg, params = load_reference_checkpoint(p)
+    if fold:
+        from ..ops.conv import fold_weight_norm
+
+        params = fold_weight_norm(params)
+    return cfg, params
 
 
 def iter_corpus(root: Path, subsets, ext: str):

@@ -1,0 +1,75 @@
+"""Token-LM sampling + codec decoding: unconditional audio generation.
+
+Completes the stage-2 story (SURVEY.md §3.4): the reference trains CodecLLM
+over token streams but ships no sampling path; here
+``--lm_ckpt`` samples token sequences from the trained LM (BOS-conditioned,
+temperature sampling) and decodes them to waveforms through the codec's
+token->embedding->decoder path (vq2emb + decode, codec_decoder.py:96-109).
+Without an LM checkpoint, --random samples uniform tokens (codec smoke test).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--codec_ckpt", type=str, required=True)
+    p.add_argument("--lm_ckpt", type=str, default=None,
+                   help="token-LM run dir (cli.train_token_lm)")
+    p.add_argument("--random", action="store_true",
+                   help="sample uniform random tokens instead of the LM")
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--num_samples", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, default="synthesized")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.audio_io import write_wav
+    from ..models import codec as C
+    from ..models.token_lm import TokenLMConfig, token_lm_generate
+    from .extract_indices import load_model
+
+    cfg, codec_params = load_model(args.codec_ckpt)
+    sr = cfg.dataset.sample_rate
+    hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
+        if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
+    n_frames = int(args.seconds * sr) // hop
+    vocab = cfg.model.codec_decoder.codebook_size
+
+    key = jax.random.key(args.seed)
+    if args.random or args.lm_ckpt is None:
+        if not args.random:
+            raise SystemExit("no --lm_ckpt given; pass --random for uniform tokens")
+        tokens = jax.random.randint(key, (args.num_samples, n_frames), 0, vocab)
+    else:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(Path(args.lm_ckpt).resolve() / "ckpt")
+        restored = mngr.restore(mngr.latest_step())
+        lm_params = restored["lm_params"]
+        lm_cfg = TokenLMConfig(vocab_size=vocab + 2)
+        tokens = token_lm_generate(lm_params, lm_cfg, batch_size=args.num_samples,
+                                   length=n_frames, key=key,
+                                   temperature=args.temperature)
+        tokens = jnp.clip(tokens, 0, vocab - 1)  # drop any BOS/EOS samples
+
+    emb = C.codes_to_emb(codec_params, cfg, tokens[..., None])  # (B, C, Tf)
+    wav = np.asarray(C.decode(codec_params, cfg, emb))[:, 0]
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for i in range(args.num_samples):
+        write_wav(out / f"sample_{i}.wav", wav[i], sr)
+    np.save(out / "tokens.npy", np.asarray(tokens, np.int16))
+    print(f"wrote {args.num_samples} samples ({args.seconds}s @ {sr} Hz) to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,8 @@ def fold_weight_norm(params):
             rest = {k: fold_weight_norm(val) for k, val in params.items() if k not in ("v", "g")}
             return {"w": weight_norm(params["v"], params["g"]), **rest}
         return {k: fold_weight_norm(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fold_weight_norm(v) for v in params)
     return params
 
 
