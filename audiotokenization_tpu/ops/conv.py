@@ -170,9 +170,16 @@ def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
 
 
 def kaiming_uniform_fan_in(key, shape, dtype=jnp.float32):
-    """torch's default Conv/Linear weight init: U(-b, b), b = sqrt(1/fan_in) * sqrt(3)."""
+    """torch's default Conv/Linear weight init.
+
+    kaiming_uniform_(a=sqrt(5)): bound = gain * sqrt(3/fan_in) with
+    gain = sqrt(2/(1+5)) = sqrt(1/3), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    (Getting this wrong by the sqrt(3) factor compounds ~1000x over the
+    codec's conv depth and NaNs training — measured against the reference
+    init's activation scale.)
+    """
     fan_in = int(np.prod(shape[1:]))
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
