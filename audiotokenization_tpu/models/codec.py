@@ -46,7 +46,7 @@ def encode(params, cfg: Config, wav, *, remat: bool = False):
         return conformer.conformer_encode(
             params["encoder"], x, hop_length=e.hop_length, n_fft=e.n_fft,
             window_size=e.window_size, n_head=e.n_head, rope_theta=e.rope_theta,
-            max_seq_len=e.max_seq_len, causal=e.causal)
+            max_seq_len=e.max_seq_len, causal=e.causal, remat=remat)
     raise ValueError(f"unknown encoder type {e.type}")
 
 
@@ -108,7 +108,7 @@ def decode(params, cfg: Config, quantized, *, remat: bool = False):
         return conformer.conformer_decode(
             params["decoder"], quantized, hop_length=d.hop_length, n_fft=d.n_fft,
             n_head=d.n_head, rope_theta=d.rope_theta, max_seq_len=d.max_seq_len,
-            causal=d.causal)
+            causal=d.causal, remat=remat)
     raise ValueError(f"unknown decoder type {d.type}")
 
 

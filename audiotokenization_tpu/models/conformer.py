@@ -25,7 +25,7 @@ from ..ops.transformer import (conformer_backbone, init_conformer_backbone,
 
 def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
                      n_head=8, rope_theta=10000.0, max_seq_len=8192,
-                     causal=False):
+                     causal=False, remat=False):
     """x: (B, 1, T) -> (B, out_channels, T/hop) latents."""
     wav = x[:, 0, :]
     spec = stft_same_constant_pad(wav, n_fft=n_fft, hop_length=hop_length,
@@ -35,7 +35,7 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["input_norm"]), 1, 2)
     h = conformer_backbone(h, params["backbone"], n_head=n_head,
                            rope_theta=rope_theta, max_seq_len=max_seq_len,
-                           conv_first=True, causal=causal)
+                           conv_first=True, causal=causal, remat=remat)
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["norm"]), 1, 2)
     if "output_proj" in params:
         h = conv1d(h, get_weight(params["output_proj"]), params["output_proj"].get("b"))
@@ -54,13 +54,14 @@ def istft_head(params, x, *, n_fft: int, hop_length: int):
 
 
 def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
-                     rope_theta=10000.0, max_seq_len=8192, causal=False):
+                     rope_theta=10000.0, max_seq_len=8192, causal=False,
+                     remat=False):
     """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform."""
     if "input_proj" in params:
         x = conv1d(x, get_weight(params["input_proj"]), params["input_proj"].get("b"))
     x = conformer_backbone(x, params["backbone"], n_head=n_head,
                            rope_theta=rope_theta, max_seq_len=max_seq_len,
-                           conv_first=False, causal=causal)
+                           conv_first=False, causal=causal, remat=remat)
     x = rms_norm(jnp.swapaxes(x, 1, 2), params["norm"])  # (B, T, dim)
     return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length)
 

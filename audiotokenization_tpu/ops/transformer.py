@@ -155,17 +155,25 @@ def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
 
 def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
                        max_seq_len: int = 8192, conv_first: bool = False,
-                       causal: bool = False, cos_sin=None):
-    """Stack of conformer layers with a shared sliced RoPE table (vq/module.py:528-547)."""
+                       causal: bool = False, cos_sin=None, remat: bool = False):
+    """Stack of conformer layers with a shared sliced RoPE table (vq/module.py:528-547).
+
+    remat=True checkpoints each layer (activation recompute in backward).
+    """
+    import functools
+
     B, C, T = x.shape
     if cos_sin is None:
         cos, sin = precompute_rope(C // n_head, max_seq_len, rope_theta)
     else:
         cos, sin = cos_sin
     cos, sin = cos[:T], sin[:T]
+    layer_fn = functools.partial(conformer_layer, n_head=n_head,
+                                 conv_first=conv_first, causal=causal)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     for layer_p in p["layers"]:
-        x = conformer_layer(x, layer_p, cos, sin, n_head=n_head,
-                            conv_first=conv_first, causal=causal)
+        x = layer_fn(x, layer_p, cos, sin)
     return x
 
 
