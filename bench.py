@@ -20,8 +20,10 @@ def main():
     from audiotokenization_tpu.config import Config
     from audiotokenization_tpu.models import codec as C
 
+    from audiotokenization_tpu.ops.conv import fold_weight_norm
+
     cfg = Config()
-    params = C.init_codec(jax.random.key(0), cfg)
+    params = fold_weight_norm(C.init_codec(jax.random.key(0), cfg))  # inference path folds WN
 
     # K distinct batches are tokenized inside ONE jitted call (lax.map) and the
     # timing ends with a tiny (4-byte) fetch, so the measurement reflects
