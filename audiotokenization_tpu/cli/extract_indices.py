@@ -140,7 +140,10 @@ def main(argv=None):
             speaker, chapter = parse_fileid(fileid)
             sub_dir = out_dir / subset / speaker / chapter
             sub_dir.mkdir(parents=True, exist_ok=True)
-            np.save(sub_dir / f"{fileid}.npy", indices.astype(np.int16))
+            # int16 is the reference contract (codebooks <= 32767); large
+            # LFQ-style codebooks fall back to int32 to avoid overflow
+            dtype = np.int16 if cfg.model.codec_decoder.codebook_size <= 32767 else np.int32
+            np.save(sub_dir / f"{fileid}.npy", indices.astype(dtype))
             count += 1
             if count % 100 == 0:
                 dt = time.time() - t0

@@ -16,10 +16,10 @@ from typing import Any, Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import Config, DecoderConfig, EncoderConfig
+from ..config import Config
 from . import bigcodec, conformer
 from .quantizers import factorized_vq as fvq
-from .quantizers.fsq import fsq_apply, fsq_codes_to_emb, fsq_implicit_codebook
+from .quantizers.fsq import fsq_apply, fsq_codes_to_emb
 
 
 class CodecOutput(NamedTuple):

@@ -24,7 +24,6 @@ is a pure tree rename and XLA still tiles the convs onto the MXU.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ fp32 regardless of input dtype — spectral losses are precision-sensitive.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
