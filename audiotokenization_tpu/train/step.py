@@ -169,6 +169,15 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             disc_opt_state=disc_opt_state,
         )
         metrics = {**disc_logs, **gen_logs}
+        # LR monitor (reference: LearningRateMonitor, train.py:25)
+        from .schedule import warmup_lr_schedule
+
+        gen_sched = warmup_lr_schedule(
+            warmup_step=tcfg.gen_schedule_params.warmup_step,
+            down_step=tcfg.gen_schedule_params.down_step,
+            max_lr=tcfg.gen_schedule_params.max_lr,
+            min_lr=tcfg.gen_schedule_params.min_lr)
+        metrics["gen_lr"] = gen_sched(state.step)
         metrics["codebook_hist"] = jnp.sum(
             jax.nn.one_hot(vq_code.reshape(-1),
                            cfg.model.codec_decoder.codebook_size,
