@@ -53,7 +53,24 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
     from .codec import CodecOutput, decode, quantize
 
     sem_p = params["semantic"]
-    target = batch["semantic_target"]  # (B, 1024, Tf)
+    if "semantic_target" in batch:
+        target = batch["semantic_target"]  # (B, 1024, Tf) precomputed offline
+    else:
+        # in-loop frozen teacher, like the reference (lightning_module.py:232-238):
+        # batch["feats"] are stacked fbank features (B, Tf', 160); the native
+        # JAX w2v-bert (models/w2v_bert.py) produces hidden layer 16
+        from .w2v_bert import W2vBertConfig, w2v_bert_apply
+
+        feats = batch["feats"]
+        if feats.ndim == 4:  # reference collate shape (B, 1, Tf', 160)
+            feats = feats[:, 0]
+        hidden = w2v_bert_apply(params["w2v_bert"], W2vBertConfig(), feats,
+                                output_layer=16)
+        target = jnp.swapaxes(hidden, 1, 2)  # (B, 1024, Tf')
+        Tf = latents.shape[-1]
+        if target.shape[-1] < Tf:
+            target = jnp.pad(target, ((0, 0), (0, 0), (0, Tf - target.shape[-1])))
+        target = target[:, :, :Tf]
     target = jax.lax.stop_gradient(target)
     sem = semantic_bottleneck(sem_p["encoder"], target)
     if cfg.train.concat_semantic:
