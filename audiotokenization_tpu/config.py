@@ -150,7 +150,7 @@ class ScheduleParams:
 @dataclass
 class TrainConfig:
     max_steps: int = 600000
-    precision: str = "bf16"  # bf16 | fp32 (reference: '16-mixed')
+    precision: str = "bf16"  # bf16 | fp32 | fp32_strict (reference: '16-mixed'; fp32 keeps fp32 tensors with fast matmuls, fp32_strict forces fp32 MXU accumulation)
     remat: bool = True  # jax.checkpoint on codec blocks + discriminators during training
     seed: int = 1024
     lambdas: Lambdas = field(default_factory=Lambdas)

@@ -85,6 +85,20 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         return diff, aux
 
     def step_fn(state: TrainState, batch: Dict[str, Any]):
+        if tcfg.precision == "fp32_strict":
+            # true fp32 MXU accumulation everywhere (TPU default keeps fp32
+            # tensors but runs matmuls in bf16, like torch's TF32-on default)
+            import contextlib
+
+            ctx = jax.default_matmul_precision("float32")
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return _step_body(state, batch)
+
+    def _step_body(state: TrainState, batch: Dict[str, Any]):
         y = batch["wav"][:, None, :]
 
         # --- 1. shared generator forward, linearized once
