@@ -36,8 +36,15 @@ def load_reference():
     if "torchaudio" not in sys.modules:
         # common/audio.py imports torchaudio at module scope but the codec
         # paths only use torch.stft; stub it so the discriminators import.
+        # A real ModuleSpec is required: transformers probes availability via
+        # importlib.util.find_spec, which raises on __spec__ = None.
+        import importlib.machinery
+
         ta = types.ModuleType("torchaudio")
+        ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
         ta.transforms = types.ModuleType("torchaudio.transforms")
+        ta.transforms.__spec__ = importlib.machinery.ModuleSpec(
+            "torchaudio.transforms", loader=None)
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = ta.transforms
     if str(REF) not in sys.path:
