@@ -62,7 +62,12 @@ class CheckpointManager:
 
 def load_checkpoint_params(directory, *, step: Optional[int] = None,
                            best: bool = False):
-    """Load (cfg, gen_params) from a run directory for inference/extraction."""
+    """Load (cfg, gen_params) from a run directory for inference/extraction.
+
+    Restores against an abstract target tree built from the config with
+    jax.eval_shape (no allocation), so Orbax validates the topology instead
+    of guessing it from the serialized layout.
+    """
     directory = Path(directory).resolve()
     cfg = load_config(directory / "config.json")
     if best and (directory / "best.json").exists():
@@ -71,6 +76,15 @@ def load_checkpoint_params(directory, *, step: Optional[int] = None,
     step = step if step is not None else mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
-    restored = mngr.restore(step, args=ocp.args.StandardRestore())
+    try:
+        import jax
+
+        from ..models.codec import init_codec
+
+        abstract = jax.eval_shape(lambda: init_codec(jax.random.key(0), cfg))
+        restored = mngr.restore(
+            step, args=ocp.args.StandardRestore({"gen_params": abstract}))
+    except Exception:
+        restored = mngr.restore(step, args=ocp.args.StandardRestore())
     gen_params = restored.gen_params if hasattr(restored, "gen_params") else restored["gen_params"]
     return cfg, gen_params
