@@ -115,9 +115,16 @@ def decode(params, cfg: Config, quantized, *, remat: bool = False):
 def codes_to_emb(params, cfg: Config, codes, *, proj: bool = True):
     """codes (B, Tf, Nq) -> decoder-input embeddings (B, C, Tf) (vq2emb path)."""
     d = cfg.model.codec_decoder
-    if d.fsq or d.quantizer == "fsq":
+    q = "fsq" if d.fsq else d.quantizer
+    if q == "fsq":
         emb = fsq_codes_to_emb(codes[..., 0], levels=tuple(d.fsq_levels),
                                params=params["quantizer"])
+    elif q == "ema_vq":
+        emb = jnp.take(params["quantizer"]["embed"], codes[..., 0], axis=0)
+    elif q == "lfq":
+        from .quantizers.lfq import lfq_indices_to_codes
+
+        emb = lfq_indices_to_codes(codes[..., 0], codebook_dim=d.in_channels)
     else:
         emb = fvq.residual_vq_codes_to_emb(params["quantizer"], codes, proj=proj)
     return jnp.swapaxes(emb, 1, 2)

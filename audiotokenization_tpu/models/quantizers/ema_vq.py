@@ -44,10 +44,13 @@ def init_ema_vq(key, *, codebook_size: int, dim: int, kmeans_init: bool = False)
 
 
 def _kmeans(key, data, n_clusters: int, iters: int = 10):
-    """Simple kmeans over (M, D) data; M assumed >= n_clusters after psum-gather."""
+    """Simple kmeans over (M, D) data. Always returns (n_clusters, D): when
+    the batch has fewer vectors than clusters, seeds repeat (with-replacement
+    sampling keeps the shape static — required because lax.cond traces this
+    branch even when kmeans init is disabled)."""
     M = data.shape[0]
-    idx = jax.random.permutation(key, M)[:n_clusters]
-    means = data[idx % M]
+    idx = jax.random.randint(key, (n_clusters,), 0, M)
+    means = data[idx]
 
     def step(means, _):
         d = (jnp.sum(data * data, 1, keepdims=True) - 2 * data @ means.T

@@ -50,11 +50,16 @@ def make_eval_step(cfg: Config, mesh=None):
 
 def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
                    compute_stoi: bool = True, max_batches: Optional[int] = None,
-                   artifact_dir: Optional[str] = None, step: int = 0):
+                   artifact_dir: Optional[str] = None, step: int = 0,
+                   eval_step=None):
     """Validation pass. With artifact_dir set, dumps reconstructed audio +
     spectrograms for cfg.dataset.val.log_idxs batches (the wandb
-    audio/spectrogram logging of lightning_module.py:434-447, file-based)."""
-    eval_step = make_eval_step(cfg, mesh)
+    audio/spectrogram logging of lightning_module.py:434-447, file-based).
+
+    Pass a prebuilt eval_step (make_eval_step) when calling repeatedly —
+    a fresh closure misses jit's cache and recompiles every validation.
+    """
+    eval_step = eval_step if eval_step is not None else make_eval_step(cfg, mesh)
     agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
     hist = None
     log_idxs = set(cfg.dataset.val.log_idxs or ())
@@ -124,6 +129,7 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     step_fn = jit_train_step(cfg, mesh, donate=True)
+    eval_step = make_eval_step(cfg, mesh) if val_loader is not None else None
     logger = logger or MetricsLogger(run_dir, run_name=cfg.name, use_wandb=False)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
@@ -158,7 +164,8 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
                 logger.log(logs, step)
             if val_loader is not None and step % cfg.train.val_every_n_steps == 0:
                 val = run_validation(cfg, state.gen_params, val_loader, mesh=mesh,
-                                     artifact_dir=run_dir, step=step)
+                                     artifact_dir=run_dir, step=step,
+                                     eval_step=eval_step)
                 logger.log(val, step)
             if step % cfg.train.checkpoint_every_n_steps == 0 or step == max_steps:
                 mel = metrics.get("mel_loss")

@@ -192,10 +192,10 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             max_lr=tcfg.gen_schedule_params.max_lr,
             min_lr=tcfg.gen_schedule_params.min_lr)
         metrics["gen_lr"] = gen_sched(state.step)
-        metrics["codebook_hist"] = jnp.sum(
-            jax.nn.one_hot(vq_code.reshape(-1),
-                           cfg.model.codec_decoder.codebook_size,
-                           dtype=jnp.float32), axis=0)
+        from .metrics import codebook_histogram
+
+        metrics["codebook_hist"] = codebook_histogram(
+            vq_code, cfg.model.codec_decoder.codebook_size)
         return new_state, metrics
 
     return step_fn

@@ -35,11 +35,13 @@ def receptive_field_samples(cfg) -> int:
     return rf
 
 
-def tokenize_chunked(params, cfg, wav, *, chunk_seconds: float = 10.0,
-                     context_seconds: float | None = None):
-    """wav: (T,) arbitrary length -> (Nq, n_frames) tokens with fixed-shape jit.
+def make_chunked_tokenizer(params, cfg, *, chunk_seconds: float = 10.0,
+                           context_seconds: float | None = None):
+    """Build a reusable chunked tokenizer: wav (T,) -> (Nq, n_frames).
 
-    One compile per (chunk, context) geometry regardless of input length.
+    The jitted window function is created ONCE here, so repeated calls over a
+    corpus share one compile per (chunk, context) geometry — build the
+    tokenizer outside the per-file loop.
     """
     from ..models import codec as C
 
@@ -51,19 +53,29 @@ def tokenize_chunked(params, cfg, wav, *, chunk_seconds: float = 10.0,
         ctx = -(-receptive_field_samples(cfg) // hop) * hop
     else:
         ctx = int(context_seconds * sr) // hop * hop
-    T = len(wav)
-    total = -(-T // chunk) * chunk
-    padded = np.pad(np.asarray(wav), (ctx, ctx + total - T))
 
     @jax.jit
     def tok(params, w):
         return C.tokenize(params, cfg, w[None])[:, 0]  # (Nq, frames)
 
-    pieces = []
-    for start in range(0, total, chunk):
-        window = jnp.asarray(padded[start:start + chunk + 2 * ctx])
-        codes = tok(params, window)  # (Nq, (chunk + 2*ctx)/hop)
-        c = ctx // hop
-        pieces.append(np.asarray(codes[:, c:c + chunk // hop]))
-    out = np.concatenate(pieces, axis=1)
-    return out[:, :T // hop]
+    def run(wav):
+        T = len(wav)
+        total = -(-T // chunk) * chunk
+        padded = np.pad(np.asarray(wav), (ctx, ctx + total - T))
+        pieces = []
+        for start in range(0, total, chunk):
+            window = jnp.asarray(padded[start:start + chunk + 2 * ctx])
+            codes = tok(params, window)  # (Nq, (chunk + 2*ctx)/hop)
+            c = ctx // hop
+            pieces.append(np.asarray(codes[:, c:c + chunk // hop]))
+        out = np.concatenate(pieces, axis=1)
+        return out[:, :T // hop]
+
+    return run
+
+
+def tokenize_chunked(params, cfg, wav, *, chunk_seconds: float = 10.0,
+                     context_seconds: float | None = None):
+    """One-shot convenience wrapper; for corpora use make_chunked_tokenizer."""
+    return make_chunked_tokenizer(params, cfg, chunk_seconds=chunk_seconds,
+                                  context_seconds=context_seconds)(wav)

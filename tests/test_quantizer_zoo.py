@@ -130,3 +130,36 @@ def test_residual_and_grouped_combinators():
     gfns = [lambda v, p=p: sim_vq_apply(p, v, training=True) for p in gps]
     gq, gidx, gloss = grouped_quantize(gfns, x)
     assert gq.shape == x.shape and gidx.shape == (2, 2, 9)
+
+
+def test_ema_vq_small_batch_large_codebook():
+    """Regression: B*T < codebook_size must not break the traced kmeans branch."""
+    state = init_ema_vq(jax.random.key(0), codebook_size=32, dim=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8).astype(np.float32))
+    res = ema_vq_apply(state, x, training=True, rng=jax.random.key(1))
+    assert res.quantized.shape == x.shape
+    assert res.state["embed"].shape == (32, 4)
+
+
+def test_codes_to_emb_ema_and_lfq():
+    from audiotokenization_tpu.models import codec as C
+    from test_train_step import tiny_config
+
+    cfg = tiny_config()
+    cfg.model.codec_decoder.quantizer = "ema_vq"
+    cfg.model.codec_decoder.codebook_size = 64
+    params = C.init_codec(jax.random.key(0), cfg)
+    codes = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 7, 1)))
+    emb = C.codes_to_emb(params, cfg, codes)
+    assert emb.shape == (2, 32, 7)
+
+    cfg2 = tiny_config()
+    cfg2.model.codec_decoder.quantizer = "lfq"
+    cfg2.model.codec_decoder.in_channels = 8
+    cfg2.model.codec_decoder.codebook_size = 256
+    cfg2.model.codec_encoder.out_channels = 8
+    cfg2.model.codec_decoder.upsample_initial_channel = 16
+    params2 = C.init_codec(jax.random.key(1), cfg2)
+    codes2 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (2, 7, 1)))
+    emb2 = C.codes_to_emb(params2, cfg2, codes2)
+    assert emb2.shape == (2, 8, 7)
