@@ -94,17 +94,20 @@ def factorized_vq_apply(params, z, *, commitment: float = 0.25,
 
 
 def residual_vq_apply(params, x, *, num_quantizers: int, commitment: float = 0.25,
-                      training: bool = False, use_pallas: bool = True):
+                      training: bool = False, use_pallas: bool = True,
+                      shared_codebook: bool = False):
     """ResidualVQ over FactorizedVQ layers (vq/residual_vq.py:21-40).
 
     Returns (quantized_out (B, dim, T), all_indices (Nq, B, T), all_losses (Nq,)).
+    shared_codebook=True applies layer 0's parameters at every level (the
+    lucidrains residual_vq.py:153-157 shared-codebook option).
     """
     quantized_out = jnp.zeros_like(x)
     residual = x
     all_indices = []
     all_losses = []
     for q in range(num_quantizers):
-        layer = params["layers"][q]
+        layer = params["layers"][0 if shared_codebook else q]
         quantized, indices, loss = factorized_vq_apply(
             layer, residual, commitment=commitment, training=training,
             use_pallas=use_pallas)

@@ -163,3 +163,19 @@ def test_codes_to_emb_ema_and_lfq():
     codes2 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (2, 7, 1)))
     emb2 = C.codes_to_emb(params2, cfg2, codes2)
     assert emb2.shape == (2, 8, 7)
+
+
+def test_residual_vq_shared_codebook():
+    import jax as _jax
+
+    p = FQ.init_residual_vq(_jax.random.key(0), num_quantizers=1, dim=16,
+                            codebook_size=32, codebook_dim=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 9).astype(np.float32))
+    q, idx, loss = FQ.residual_vq_apply(p, x, num_quantizers=3,
+                                        shared_codebook=True, use_pallas=False)
+    assert idx.shape == (3, 2, 9) and loss.shape == (3,)
+    # residual refinement with one codebook still reduces error vs one level
+    q1, _, _ = FQ.residual_vq_apply(p, x, num_quantizers=1, use_pallas=False)
+    e1 = float(jnp.mean((q1 - x) ** 2))
+    e3 = float(jnp.mean((q - x) ** 2))
+    assert e3 <= e1 + 1e-6
