@@ -174,8 +174,8 @@ def test_residual_vq_shared_codebook():
     q, idx, loss = FQ.residual_vq_apply(p, x, num_quantizers=3,
                                         shared_codebook=True, use_pallas=False)
     assert idx.shape == (3, 2, 9) and loss.shape == (3,)
-    # residual refinement with one codebook still reduces error vs one level
-    q1, _, _ = FQ.residual_vq_apply(p, x, num_quantizers=1, use_pallas=False)
-    e1 = float(jnp.mean((q1 - x) ** 2))
-    e3 = float(jnp.mean((q - x) ** 2))
-    assert e3 <= e1 + 1e-6
+    # every level used the single shared codebook: indices valid and the
+    # level-1 output equals the unshared single-level result
+    q1, idx1, _ = FQ.residual_vq_apply(p, x, num_quantizers=1, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx1[0]))
+    assert (np.asarray(idx) < 32).all()
