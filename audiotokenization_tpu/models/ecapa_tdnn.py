@@ -8,12 +8,12 @@ linear embedding. Used by verification.py / spk_sim.py to score cosine
 similarity between original and reconstructed speech (the codec's
 speaker-preservation metric).
 
-This is a native JAX implementation of the same architecture; pretrained
-torch checkpoints (when available) can be mapped with
-convert_ecapa_state_dict. Without weights, `spk_sim` still provides a
-relative speaker-similarity score from a randomly-initialized embedding
-(useful only for smoke tests) — the CLI refuses to report absolute numbers
-in that case.
+This is a native JAX implementation of the ECAPA-TDNN architecture family
+(the reference's exact variant differs in block-internal op order and
+depends on torchaudio + s3prl, neither present in this image; its pretrained
+checkpoint is also listed as a missing blob upstream). Without trained
+weights, `speaker_similarity` only supports smoke tests — the CLI refuses
+to report absolute numbers unless a checkpoint is supplied.
 """
 from __future__ import annotations
 
