@@ -32,12 +32,14 @@ def _params(key, C):
     (128, 700, 3),   # non-multiple of TILE_T exercises tail masking
     (256, 1024, 9),
 ])
-def test_fused_unit_matches_oracle(C, T, dilation):
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_fused_unit_matches_oracle(C, T, dilation, version):
     params = _params(jax.random.key(0), C)
     x = jax.random.normal(jax.random.key(1), (2, C, T), jnp.float32)
     aa = _AA(antialias=False)
     oracle = residual_unit(x, params, dilation=dilation, causal=False, aa=aa)
-    fused = fused_residual_unit(x, params, dilation=dilation, interpret=True)
+    fused = fused_residual_unit(x, params, dilation=dilation, interpret=True,
+                                version=version)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                rtol=1e-5, atol=1e-5)
 
