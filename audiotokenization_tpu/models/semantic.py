@@ -78,7 +78,8 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
     else:
         vq_in = latents
     vq_in = jnp.swapaxes(linear(jnp.swapaxes(vq_in, 1, 2), sem_p["fc_prior"]), 1, 2)
-    zq, codes, vq_loss = quantize(params, cfg, vq_in, training=training)
+    zq, codes, vq_loss, qstate = quantize(params, cfg, vq_in, training=training,
+                                          with_state=True)
     sem_recon = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2), sem_p["fc_post_s"]), 1, 2)
     sem_recon = semantic_bottleneck(sem_p["decoder"], sem_recon)
     sem_loss = jnp.mean(jnp.square(sem_recon - target))
@@ -86,7 +87,8 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
     gen = decode(params, cfg, audio_in)
     wav = batch["wav"]
     return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
-                       vq_code=codes, semantic_recon_loss=sem_loss)
+                       vq_code=codes, semantic_recon_loss=sem_loss,
+                       quantizer_state=qstate)
 
 
 def init_semantic(key, cfg: Config) -> Dict[str, Any]:
