@@ -143,7 +143,10 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     min_log_mel = 15.0
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    with np.errstate(divide="ignore"):  # f == 0 rows are masked by the where
+        return np.where(f >= min_log_hz,
+                        min_log_mel + np.log(np.maximum(f, 1e-30) / min_log_hz) / logstep,
+                        mel)
 
 
 def _mel_to_hz_slaney(m):
