@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 
 
-def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False):
-    """Single-direction LSTM layer. x: (B, T, in) -> (B, T, H)."""
+def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False,
+                init_state=None, return_state: bool = False):
+    """Single-direction LSTM layer. x: (B, T, in) -> (B, T, H).
+
+    init_state: optional (h0, c0) each (B, H) for streaming continuation;
+    return_state=True additionally returns the final (h, c).
+    """
     hdim = w_hh.shape[1]
     B = x.shape[0]
     pre = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
@@ -38,9 +43,13 @@ def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((B, hdim), x.dtype), jnp.zeros((B, hdim), x.dtype))
-    _, hs = jax.lax.scan(step, init, pre, reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    init = init_state if init_state is not None else (
+        jnp.zeros((B, hdim), x.dtype), jnp.zeros((B, hdim), x.dtype))
+    final, hs = jax.lax.scan(step, init, pre, reverse=reverse)
+    out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    if return_state:
+        return out, final
+    return out
 
 
 def lstm(x, params, *, num_layers: int, bidirectional: bool = False):
@@ -71,6 +80,28 @@ def res_lstm(x, params, *, num_layers: int = 2, bidirectional: bool = False,
     if skip:
         y = y + xt
     return jnp.swapaxes(y, 1, 2)
+
+
+def res_lstm_streaming(x, params, state, *, num_layers: int = 2,
+                       skip: bool = True):
+    """Stateful unidirectional ResLSTM step for streaming inference.
+
+    x: (B, F, T) chunk; state: list of per-layer (h, c) or None to start.
+    Returns (y (B, F, T), new_state). Bit-identical to running res_lstm over
+    the concatenated stream (unidirectional only).
+    """
+    xt = jnp.swapaxes(x, 1, 2)
+    out = xt
+    new_state = []
+    for l in range(num_layers):
+        p = params[l] if isinstance(params, (list, tuple)) else params[str(l)]
+        init = state[l] if state is not None else None
+        out, fin = _lstm_layer(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
+                               init_state=init, return_state=True)
+        new_state.append(fin)
+    if skip:
+        out = out + xt
+    return jnp.swapaxes(out, 1, 2), new_state
 
 
 def init_lstm(key, input_size, hidden_size, *, num_layers: int,
