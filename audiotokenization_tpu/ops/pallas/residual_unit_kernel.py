@@ -263,6 +263,81 @@ def _fused_call_v3(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
     return out[:, :, :T]
 
 
+def _unit_kernel_v4(dilation, cur_ref, nxt_ref, w7_ref, b7_ref, w1_ref, b1_ref,
+                    a1_ref, be1_ref, a2_ref, be2_ref, out_ref, tail_buf):
+    """All-affine variant: streams (t, t+1) + a zero-initialized tail scratch
+    carrying the previous tile's last `pad` columns. Every index map is
+    affine, so Mosaic pipelines blocks normally (the v3 max(t-1,0) output map
+    forced conservative full-row VMEM allocation)."""
+    pad = 3 * dilation
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        tail_buf[:, :] = jnp.zeros_like(tail_buf)
+
+    win = jnp.concatenate(
+        [tail_buf[:, :], cur_ref[0], nxt_ref[0, :, :pad]], axis=1)
+    a1 = jnp.exp(a1_ref[:])[:, None]
+    b1s = jnp.exp(be1_ref[:])[:, None]
+    s = jnp.sin(win * a1)
+    s1 = win + (1.0 / (b1s + _EPS)) * (s * s)
+
+    acc = jnp.zeros((w7_ref.shape[0], TILE_T), jnp.float32)
+    for k in range(7):
+        acc += jax.lax.dot_general(
+            w7_ref[:, :, k], s1[:, k * dilation:k * dilation + TILE_T],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HP)
+    y = acc + b7_ref[:][:, None]
+
+    a2 = jnp.exp(a2_ref[:])[:, None]
+    b2s = jnp.exp(be2_ref[:])[:, None]
+    s = jnp.sin(y * a2)
+    s2 = y + (1.0 / (b2s + _EPS)) * (s * s)
+
+    z = jax.lax.dot_general(
+        w1_ref[:, :, 0], s2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP) + b1_ref[:][:, None]
+    out_ref[0] = cur_ref[0] + z
+    tail_buf[:, :] = cur_ref[0, :, TILE_T - pad:]
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
+def _fused_call_v4(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
+    B, C, T = x.shape
+    pad = 3 * dilation
+    t_pad = -(-T // TILE_T) * TILE_T
+    nt = t_pad // TILE_T
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - T + TILE_T)))  # right zero tile
+    grid = (B, nt)
+    const = lambda b, t: (0,)
+    out = pl.pallas_call(
+        functools.partial(_unit_kernel_v4, dilation),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C, 7), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C, 1), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, TILE_T), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, t_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, 3 * dilation), jnp.float32)],
+        interpret=interpret,
+    )(xp, xp, w7, b7, w1, b1, a1, be1, a2, be2)
+    return out[:, :, :T]
+
+
 def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None,
                         version: int = 1):
     """Fused ResidualUnit.
@@ -282,7 +357,8 @@ def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = No
         interpret = jax.default_backend() != "tpu"
     w7 = get_weight(params["conv1"]).astype(jnp.float32)
     w1 = get_weight(params["conv2"]).astype(jnp.float32)
-    call = {1: _fused_call, 2: _fused_call_v2, 3: _fused_call_v3}[version]
+    call = {1: _fused_call, 2: _fused_call_v2, 3: _fused_call_v3,
+            4: _fused_call_v4}[version]
     return call(
         x.astype(jnp.float32), w7, params["conv1"]["b"].astype(jnp.float32),
         w1, params["conv2"]["b"].astype(jnp.float32),
