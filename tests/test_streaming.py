@@ -41,3 +41,31 @@ def test_streaming_rejects_noncausal():
     params = C.init_codec(jax.random.key(0), cfg)
     with pytest.raises(ValueError):
         StreamingTokenizer(params, cfg, chunk_samples=200)
+
+
+def test_streaming_five_stage_config():
+    """Full 5-stage causal stack (hop 200) streams exactly (small ngf)."""
+    cfg = tiny_config()
+    e = cfg.model.codec_encoder
+    e.causal = True
+    e.ngf = 4
+    e.up_ratios = (2, 2, 2, 5, 5)
+    e.out_channels = 32
+    d = cfg.model.codec_decoder
+    d.causal = True
+    d.in_channels = 32
+    d.upsample_initial_channel = 64
+    d.up_ratios = (5, 5, 2, 2, 2)
+    params = C.init_codec(jax.random.key(1), cfg)
+    rng = np.random.RandomState(1)
+    T = 2400  # 12 frames
+    wav = (rng.randn(1, T) * 0.1).astype(np.float32)
+    offline = np.asarray(C.tokenize(params, cfg, jnp.asarray(wav)))
+    st = StreamingTokenizer(params, cfg, chunk_samples=400)
+    state = st.init_state(batch_size=1)
+    pieces = []
+    for start in range(0, T, 400):
+        codes, state = st.step(state, jnp.asarray(wav[:, start:start + 400]))
+        pieces.append(np.asarray(codes))
+    streamed = np.concatenate(pieces, axis=2)
+    np.testing.assert_array_equal(streamed, offline)
