@@ -310,6 +310,9 @@ def _fused_call_v4(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
     t_pad = -(-T // TILE_T) * TILE_T
     nt = t_pad // TILE_T
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - T + TILE_T)))  # right zero tile
+    # distinct buffers for the two shifted streams: passing one aliased array
+    # twice appears to defeat Mosaic's block windowing (whole rows staged)
+    xp2 = jax.lax.optimization_barrier(xp + 0.0)
     grid = (B, nt)
     const = lambda b, t: (0,)
     out = pl.pallas_call(
@@ -333,8 +336,10 @@ def _fused_call_v4(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, t_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, 3 * dilation), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xp, xp, w7, b7, w1, b1, a1, be1, a2, be2)
+    )(xp, xp2, w7, b7, w1, b1, a1, be1, a2, be2)
     return out[:, :, :T]
 
 
