@@ -25,9 +25,35 @@ def load_reference():
         def _unavailable(*a, **k):
             raise RuntimeError("einx stub: not available in tests")
 
-        for name in ("get_at", "rearrange", "add", "multiply", "where", "less",
+        def _get_at(pattern, tensor, index):
+            # Functional gather for the exact patterns the vendored VQ library
+            # uses (QINCo / learnable-codebook eval paths). Semantics: the
+            # bracketed axis of `tensor` is indexed by `index`, whose axes
+            # align by name with the surrounding tensor axes.
+            import torch as _t
+            if pattern == "h [c] d, h b n -> h b n d":
+                h, b, n = index.shape
+                out = tensor[_t.arange(h)[:, None], index.reshape(h, -1)]
+                return out.reshape(h, b, n, tensor.shape[-1])
+            if pattern == "h b n [c] d, h b n -> h b n d":
+                return _t.take_along_dim(
+                    tensor, index[..., None, None], dim=-2).squeeze(-2)
+            if pattern == "b n [c] d, b n -> b n d":
+                return _t.take_along_dim(
+                    tensor, index[..., None, None], dim=-2).squeeze(-2)
+            if pattern == "[c] d, b n -> b n d":
+                return tensor[index]
+            if pattern == "q [c] d, b n q -> q b n d":
+                q = tensor.shape[0]
+                idx = index.permute(2, 0, 1)  # (q, b, n)
+                out = tensor[_t.arange(q)[:, None], idx.reshape(q, -1)]
+                return out.reshape(q, *idx.shape[1:], tensor.shape[-1])
+            raise RuntimeError(f"einx stub: unsupported get_at pattern {pattern!r}")
+
+        for name in ("rearrange", "add", "multiply", "where", "less",
                      "greater", "equal", "logsumexp", "softmax", "dot", "sum"):
             setattr(einx, name, _unavailable)
+        einx.get_at = _get_at
         sys.modules["einx"] = einx
         nn_mod = types.ModuleType("einx.nn")
         tor = types.ModuleType("einx.nn.torch")
