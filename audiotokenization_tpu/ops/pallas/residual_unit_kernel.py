@@ -343,6 +343,92 @@ def _fused_call_v4(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret):
     return out[:, :, :T]
 
 
+def _unit_kernel_v5(dilation, tile_t, cur_ref, nxt_ref, w7_ref, b7_ref,
+                    w1_ref, b1_ref, a1_ref, be1_ref, a2_ref, be2_ref,
+                    out_ref, tail_buf):
+    """T-major (NHC) im2col variant. Activations are (T, C) tiles: the 7
+    dilated taps become SUBLANE slices (cheap) instead of lane rotations, and
+    they concatenate along lanes into an im2col block (TILE, 7C) so the k=7
+    conv is ONE dot with contraction depth 7C — much better MXU utilization
+    than seven K=C dots when C < 128. Streaming halo identical to v4:
+    (t, t+1) input streams + zero-init tail scratch, all-affine index maps."""
+    pad = 3 * dilation
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        tail_buf[:, :] = jnp.zeros_like(tail_buf)
+
+    win = jnp.concatenate(
+        [tail_buf[:, :], cur_ref[0], nxt_ref[0, :pad, :]], axis=0)
+    a1 = jnp.exp(a1_ref[:])[None, :]
+    b1s = jnp.exp(be1_ref[:])[None, :]
+    s = jnp.sin(win * a1)
+    s1 = win + (1.0 / (b1s + _EPS)) * (s * s)
+
+    # im2col along lanes: (TILE, 7*C), k-major to match w7 (7*C, C) layout
+    cols = jnp.concatenate(
+        [s1[k * dilation:k * dilation + tile_t, :] for k in range(7)], axis=1)
+    y = jax.lax.dot_general(
+        cols, w7_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP) + b7_ref[:][None, :]
+
+    a2 = jnp.exp(a2_ref[:])[None, :]
+    b2s = jnp.exp(be2_ref[:])[None, :]
+    s = jnp.sin(y * a2)
+    s2 = y + (1.0 / (b2s + _EPS)) * (s * s)
+
+    z = jax.lax.dot_general(
+        s2, w1_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP) + b1_ref[:][None, :]
+    out_ref[0] = cur_ref[0] + z
+    tail_buf[:, :] = cur_ref[0, tile_t - pad:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret", "tile_t"))
+def _fused_call_v5(x, w7, b7, w1, b1, a1, be1, a2, be2, *, dilation, interpret,
+                   tile_t=2048):
+    """x: (B, C, T) in, (B, C, T) out; internally runs T-major."""
+    B, C, T = x.shape
+    pad = 3 * dilation
+    t_pad = -(-T // tile_t) * tile_t
+    nt = t_pad // tile_t
+    xt = jnp.swapaxes(x, 1, 2)  # (B, T, C)
+    xp = jnp.pad(xt, ((0, 0), (0, t_pad - T + tile_t), (0, 0)))
+    xp2 = jax.lax.optimization_barrier(xp + 0.0)  # distinct buffer (see v4)
+    # w7 (C_out, C_in, 7) -> (7*C_in, C_out), k-major rows to match the im2col
+    w7t = jnp.transpose(w7, (2, 1, 0)).reshape(7 * C, C)
+    w1t = w1[:, :, 0].T
+    grid = (B, nt)
+    const = lambda b, t: (0,)
+    out = pl.pallas_call(
+        functools.partial(_unit_kernel_v5, dilation, tile_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_t, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, C), lambda b, t: (b, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7 * C, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * dilation, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xp, xp2, w7t, b7, w1t, b1, a1, be1, a2, be2)
+    return jnp.swapaxes(out[:, :T, :], 1, 2)
+
+
 def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = None,
                         version: int = 1):
     """Fused ResidualUnit.
@@ -363,7 +449,7 @@ def fused_residual_unit(x, params, *, dilation: int, interpret: bool | None = No
     w7 = get_weight(params["conv1"]).astype(jnp.float32)
     w1 = get_weight(params["conv2"]).astype(jnp.float32)
     call = {1: _fused_call, 2: _fused_call_v2, 3: _fused_call_v3,
-            4: _fused_call_v4}[version]
+            4: _fused_call_v4, 5: _fused_call_v5}[version]
     return call(
         x.astype(jnp.float32), w7, params["conv1"]["b"].astype(jnp.float32),
         w1, params["conv2"]["b"].astype(jnp.float32),

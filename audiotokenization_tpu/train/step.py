@@ -75,6 +75,16 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         # discriminator activations (5 MPD + 5 spec pyramids on raw-rate audio)
         # dominate step memory; recompute them in the backward pass
         disc_forward = jax.checkpoint(disc_forward)
+
+    def disc_forward_pair(disc_params, a, b):
+        """Run the real and fake wavs through every sub-discriminator as ONE
+        2B batch (convs are per-sample, so this is the same math as two
+        passes) — halves the number of conv dispatches and doubles the
+        per-conv batch, which the small disc convs need for MXU utilization."""
+        n = a.shape[0]
+        outs = disc_forward(disc_params, jnp.concatenate([a, b], axis=0))
+        return (jax.tree.map(lambda t: t[:n], outs),
+                jax.tree.map(lambda t: t[n:], outs))
     gen_tx, disc_tx = make_optimizers(cfg)
 
     def gen_forward(gen_params, batch):
@@ -112,8 +122,7 @@ def make_train_step(cfg: Config, *, donate: bool = True):
 
         # --- 2. discriminator update on detached fake
         def disc_loss_fn(disc_params):
-            real_outs = disc_forward(disc_params, y)
-            fake_outs = disc_forward(disc_params, y_detached)
+            real_outs, fake_outs = disc_forward_pair(disc_params, y, y_detached)
             real_l, fake_l = disc_loss(real_outs, fake_outs)
             total = lam.lambda_disc * (real_l + fake_l)
             return total, {"real_loss": real_l, "fake_loss": fake_l,
@@ -144,12 +153,16 @@ def make_train_step(cfg: Config, *, donate: bool = True):
                     win_lengths=tuple(tcfg.stft_loss_params.win_lengths))
                 total += sl * lam.lambda_stft_loss
                 logs["stft_loss"] = sl
-            fake_outs = disc_forward(jax.lax.stop_gradient(disc_params), y_g)
+            sg_disc = jax.lax.stop_gradient(disc_params)
+            if tcfg.use_feat_match_loss:
+                fake_outs, real_outs = disc_forward_pair(sg_disc, y_g, y)
+                real_outs = jax.lax.stop_gradient(real_outs)
+            else:
+                fake_outs = disc_forward(sg_disc, y_g)
             adv = gen_adv_loss(fake_outs)
             total += adv * lam.lambda_adv
             logs["adv_loss"] = adv
             if tcfg.use_feat_match_loss:
-                real_outs = jax.lax.stop_gradient(disc_forward(disc_params, y))
                 fm = feature_matching_loss(fake_outs, real_outs)
                 total += fm * lam.lambda_feat_match_loss
                 logs["fm_loss"] = fm

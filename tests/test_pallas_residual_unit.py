@@ -32,7 +32,7 @@ def _params(key, C):
     (128, 700, 3),   # non-multiple of TILE_T exercises tail masking
     (256, 1024, 9),
 ])
-@pytest.mark.parametrize("version", [1, 2, 3, 4])
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 5])
 def test_fused_unit_matches_oracle(C, T, dilation, version):
     params = _params(jax.random.key(0), C)
     x = jax.random.normal(jax.random.key(1), (2, C, T), jnp.float32)
