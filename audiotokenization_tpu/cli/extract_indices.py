@@ -46,6 +46,9 @@ def build_argparser():
     p.add_argument("--exact", action="store_true",
                    help="feed raw lengths (recompiles per unique length)")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--mode", choices=("conformant", "fast"), default="conformant",
+                   help="'fast' runs the encoder in bf16 (see codec.tokenize); "
+                        "'conformant' is bit-exact vs the torch reference")
     return p
 
 
@@ -112,7 +115,7 @@ def main(argv=None):
 
     @jax.jit
     def tokenize(params, wav):
-        return C.tokenize(params, cfg, wav)
+        return C.tokenize(params, cfg, wav, mode=args.mode)
 
     count = 0
     errors = 0

@@ -151,7 +151,11 @@ class ScheduleParams:
 class TrainConfig:
     max_steps: int = 600000
     precision: str = "bf16"  # bf16 | fp32 | fp32_strict (reference: '16-mixed'; fp32 keeps fp32 tensors with fast matmuls, fp32_strict forces fp32 MXU accumulation)
-    remat: bool = True  # jax.checkpoint on codec blocks + discriminators during training
+    # jax.checkpoint on codec blocks + discriminators during training.
+    # True | False | "auto": auto turns remat OFF when the step fits without
+    # it (measured on a 16 GB v5e: bf16 bs32 x 1 s fits remat-free and runs
+    # 23% faster — 0.333 vs 0.409 s/step; fp32 at that size OOMs).
+    remat: Any = "auto"
     seed: int = 1024
     lambdas: Lambdas = field(default_factory=Lambdas)
     use_mel_loss: bool = True
@@ -205,6 +209,28 @@ class Config:
 # ---------------------------------------------------------------------------
 # Overlay loading
 # ---------------------------------------------------------------------------
+
+def resolve_remat(cfg) -> bool:
+    """Resolve cfg.train.remat ("auto" | bool) to a concrete bool.
+
+    "auto" turns rematerialization OFF when the GAN step is known to fit
+    HBM without it: calibrated on a 16 GB v5e chip, where bf16 at the
+    flagship size (batch 32 x 1 s crops) runs remat-free at 0.333 s/step vs
+    0.409 with remat, while fp32 at that size ResourceExhausts. Anything at
+    or below that activation footprint (batch x crop samples) goes
+    remat-free under bf16; everything else keeps remat on.
+    """
+    r = cfg.train.remat
+    if isinstance(r, bool):
+        return r
+    if r != "auto":
+        raise ValueError(f"train.remat must be bool or 'auto', got {r!r}")
+    crop = cfg.dataset.train.min_audio_length
+    if crop is None or crop < 0:
+        crop = cfg.dataset.sample_rate  # full-length: assume >= 1 s clips
+    work = cfg.dataset.train.batch_size * crop
+    return not (cfg.train.precision == "bf16" and work <= 32 * 16000)
+
 
 def _merge(obj, overlay: dict):
     """Recursively apply a dict overlay onto a dataclass instance."""

@@ -150,7 +150,9 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
         params = _cast_tree(params, jnp.bfloat16)
         batch = _cast_tree(dict(batch), jnp.bfloat16)
     wav = batch["wav"]
-    remat = training and cfg.train.remat
+    from ..config import resolve_remat
+
+    remat = training and resolve_remat(cfg)
     latents = encode(params, cfg, wav, remat=remat)
     if cfg.train.use_semantic:
         from .semantic import semantic_forward
@@ -163,16 +165,30 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
                        vq_code=codes, quantizer_state=qstate)
 
 
-def tokenize(params, cfg: Config, wav):
+def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
     """wav (B, T) -> token indices (Nq, B, Tf) — the extract_indices path.
 
-    Conformance note: TPU default matmul precision is bf16, which flips a
-    significant fraction of argmin indices vs the fp32 torch reference; the
-    tokenize path therefore forces full-fp32 matmul accumulation
-    ('highest'). Measured on random weights this reduces token mismatch vs a
-    CPU fp32 oracle from ~27% to ~0.3% (remaining flips are genuine
-    near-ties, absent with trained codebooks).
+    mode='conformant' (default): full-fp32 matmul accumulation everywhere.
+    TPU default matmul precision is bf16, which flips a significant fraction
+    of argmin indices vs the fp32 torch reference; forcing 'float32' reduces
+    token mismatch vs a CPU fp32 oracle from ~27% to ~0.3% on random weights
+    (remaining flips are genuine near-ties, absent with trained codebooks).
+
+    mode='fast': encoder convs/LSTM run bf16 (params cast at trace time, so
+    XLA folds the casts into first use); only the VQ projection + distance
+    argmin stay fp32. ~2x faster on the MXU-bound stages; token flip rate vs
+    the conformant path is measured by scripts/bench_fast_tokenize.py and
+    recorded in docs/ROADMAP.md — use for throughput-critical serving where
+    bit-exactness vs the torch reference is not required.
     """
+    if mode == "fast":
+        enc_params = {**params, "encoder": _cast_tree(params["encoder"], jnp.bfloat16)}
+        latents = encode(enc_params, cfg, wav.astype(jnp.bfloat16)).astype(jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            _, codes, _ = quantize(params, cfg, latents, training=False)
+        return codes
+    if mode != "conformant":
+        raise ValueError(f"unknown tokenize mode {mode!r}")
     with jax.default_matmul_precision("float32"):
         latents = encode(params, cfg, wav)
         _, codes, _ = quantize(params, cfg, latents, training=False)

@@ -67,7 +67,13 @@ def make_disc_forward(cfg: Config):
 
 def make_train_step(cfg: Config, *, donate: bool = True):
     """Build the jitted train step: (state, batch) -> (state, metrics)."""
-    tcfg = cfg.train
+    import copy
+
+    from ..config import resolve_remat
+
+    cfg = copy.deepcopy(cfg)
+    cfg.train.remat = resolve_remat(cfg)  # "auto" -> bool, once, for the
+    tcfg = cfg.train                      # whole step (codec.forward reads it)
     lam = tcfg.lambdas
     mel_loss = MultiResolutionMelLoss(sample_rate=cfg.dataset.sample_rate) if tcfg.use_mel_loss else None
     disc_forward = make_disc_forward(cfg)

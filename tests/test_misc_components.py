@@ -77,3 +77,35 @@ def test_warmup_lr_schedule_matches_reference_formula():
     # quadratic warmup: value at half warmup is init + (max-init)/4
     q = float(sched(500))
     np.testing.assert_allclose(q, 1e-5 + (1e-4 - 1e-5) / 4, rtol=1e-3)
+
+
+def test_tokenize_fast_mode():
+    """fast (bf16-encoder) tokenize: same contract, near-identical tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiotokenization_tpu.config import Config
+    from audiotokenization_tpu.models import codec as C
+    from audiotokenization_tpu.ops.conv import fold_weight_norm
+
+    cfg = Config()
+    e = cfg.model.codec_encoder
+    e.ngf = 4
+    e.out_channels = 32
+    e.up_ratios = (2, 5)
+    e.rnn_num_layers = 1
+    d = cfg.model.codec_decoder
+    d.in_channels = 32
+    d.upsample_initial_channel = 16
+    d.up_ratios = (5, 2)
+    d.rnn_num_layers = 1
+    d.codebook_size = 64
+    d.codebook_dim = 8
+    params = fold_weight_norm(C.init_codec(jax.random.key(0), cfg))
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 1600).astype(np.float32) * 0.1)
+    ref = np.asarray(C.tokenize(params, cfg, wav))
+    fast = np.asarray(C.tokenize(params, cfg, wav, mode="fast"))
+    assert fast.shape == ref.shape and fast.dtype == ref.dtype
+    # bf16 encoder on random weights: the overwhelming majority of argmins agree
+    assert (fast == ref).mean() > 0.9, (fast == ref).mean()
