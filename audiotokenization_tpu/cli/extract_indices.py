@@ -99,6 +99,10 @@ def parse_fileid(fileid: str):
 
 def main(argv=None):
     import jax
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from ..data.audio_io import read_audio

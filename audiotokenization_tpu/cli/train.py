@@ -28,6 +28,10 @@ def main(argv=None):
 
     import jax
 
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ..config import load_config
     from ..data.dataset import AudioDataset, DataLoader
     from ..parallel.mesh import initialize_distributed

@@ -23,6 +23,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import optax
 

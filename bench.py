@@ -15,6 +15,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from audiotokenization_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from audiotokenization_tpu.config import Config
