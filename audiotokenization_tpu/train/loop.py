@@ -60,7 +60,7 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
     a fresh closure misses jit's cache and recompiles every validation.
     """
     eval_step = eval_step if eval_step is not None else make_eval_step(cfg, mesh)
-    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
     hist = None
     log_idxs = set(cfg.dataset.val.log_idxs or ())
     for i, batch in enumerate(val_loader):
@@ -89,6 +89,12 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
                 p = M.pesq_metric(gt[j], gen[j], cfg.dataset.sample_rate)
                 if p is not None:
                     agg["pesq"].append(p)
+                else:
+                    # no ITU `pesq` package in the environment: report the
+                    # in-repo P.862-style estimator under its own honest key
+                    pa = M.pesq_approx(gt[j], gen[j], cfg.dataset.sample_rate)
+                    if np.isfinite(pa):
+                        agg["pesq_approx"].append(pa)
     results = {f"val_{k}": float(np.mean(v)) for k, v in agg.items() if v}
     if hist is not None:
         hj = jnp.asarray(hist)

@@ -60,3 +60,42 @@ def test_stoi_behaviour():
     assert perfect > 0.99
     assert perfect > s1 > s2
     assert 0.0 <= s2 < 0.85
+
+
+def test_pesq_approx_behavior():
+    """P.862-style estimator: max on identical, monotone under noise,
+    level-invariant, penalizes bandwidth loss."""
+    import numpy as np
+
+    from audiotokenization_tpu.train.metrics import pesq_approx
+
+    rng = np.random.RandomState(0)
+    fs, n = 16000, 2 * 16000
+    white = rng.randn(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / fs)
+    spec *= (np.exp(-((f - 500) / 400) ** 2)
+             + 0.5 * np.exp(-((f - 1500) / 600) ** 2) + 0.05) / np.sqrt(np.maximum(f, 50))
+    clean = np.fft.irfft(spec, n)
+    clean *= np.clip(np.sin(2 * np.pi * 3.1 * np.arange(n) / fs), 0.05, None)
+    clean /= np.std(clean)
+
+    top = pesq_approx(clean, clean)
+    assert 4.5 < top <= 4.65
+    # level invariance
+    assert abs(pesq_approx(3 * clean, 3 * clean) - top) < 1e-6
+    assert abs(pesq_approx(clean, 0.3 * clean) - top) < 0.05
+    # monotone under increasing white noise
+    prev = top + 1e-9
+    for snr in (30, 20, 10, 0):
+        noise = rng.randn(n)
+        noise *= 10 ** (-snr / 20) * np.std(clean) / np.std(noise)
+        v = pesq_approx(clean, clean + noise)
+        assert v <= prev + 1e-6, (snr, v, prev)
+        prev = v
+    assert prev < 1.5  # heavy noise lands near the floor
+    # bandwidth loss is penalized
+    s2 = np.fft.rfft(clean)
+    s2[f > 3000] = 0
+    lp = pesq_approx(clean, np.fft.irfft(s2, n))
+    assert lp < top - 0.5
