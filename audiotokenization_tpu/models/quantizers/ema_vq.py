@@ -31,16 +31,47 @@ class EmaVQResult(NamedTuple):
     state: Dict[str, Any]
 
 
-def init_ema_vq(key, *, codebook_size: int, dim: int, kmeans_init: bool = False):
+def init_ema_vq(key, *, codebook_size: int, dim: int, kmeans_init: bool = False,
+                affine_param: bool = False):
     embed = jax.random.normal(key, (codebook_size, dim))
     if kmeans_init:
         embed = jnp.zeros((codebook_size, dim))
-    return {
+    state = {
         "embed": embed,
         "embed_avg": embed.copy(),
         "cluster_size": jnp.zeros((codebook_size,)),
         "initted": jnp.asarray(0.0 if kmeans_init else 1.0),
     }
+    if affine_param:
+        # affine codebook adaptation (vector_quantize_pytorch.py:414-463):
+        # EMA estimates of codebook and batch first/second moments
+        state.update({
+            "codebook_mean": jnp.zeros((dim,)),
+            "codebook_var": jnp.ones((dim,)),
+            "batch_mean": jnp.zeros((dim,)),
+            "batch_var": jnp.ones((dim,)),
+            "affine_initted": jnp.asarray(0.0),
+        })
+    return state
+
+
+def _rotate_to(src, tgt):
+    """Rotation-trick STE (arXiv 2410.06424; vector_quantize_pytorch.py:240-269):
+    transport src onto tgt with a per-vector Householder-pair rotation whose
+    parameters are detached — the forward value equals tgt, but gradients
+    flow through src as a rotation instead of an identity copy."""
+    eps = 1e-12
+    ns = jnp.linalg.norm(src, axis=-1, keepdims=True).clip(eps)
+    nt = jnp.linalg.norm(tgt, axis=-1, keepdims=True).clip(eps)
+    u = src / ns
+    q = tgt / nt
+    w = u + q
+    w = jax.lax.stop_gradient(w / jnp.linalg.norm(w, axis=-1, keepdims=True).clip(eps))
+    e = src
+    rotated = (e - 2.0 * jnp.sum(e * w, -1, keepdims=True) * w
+               + 2.0 * jnp.sum(e * jax.lax.stop_gradient(u), -1, keepdims=True)
+               * jax.lax.stop_gradient(q))
+    return rotated * jax.lax.stop_gradient(nt / ns)
 
 
 def _kmeans(key, data, n_clusters: int, iters: int = 10):
@@ -69,8 +100,30 @@ def _kmeans(key, data, n_clusters: int, iters: int = 10):
 def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
                  eps: float = 1e-5, threshold_ema_dead_code: float = 2.0,
                  training: bool = False, axis_name: Optional[str] = None,
-                 rng: Optional[jax.Array] = None) -> EmaVQResult:
-    """x: (B, D, T). Returns quantized (B, D, T), indices (B, T), loss (B,), state."""
+                 rng: Optional[jax.Array] = None,
+                 sample_codebook_temp: float = 0.0,
+                 stochastic_sampling: bool = False,
+                 rotation_trick: bool = False,
+                 orthogonal_reg_weight: float = 0.0,
+                 diversity_weight: float = 0.0,
+                 diversity_temperature: float = 100.0,
+                 affine_param: bool = False,
+                 affine_batch_decay: float = 0.9,
+                 affine_codebook_decay: float = 0.99) -> EmaVQResult:
+    """x: (B, D, T). Returns quantized (B, D, T), indices (B, T), loss (B,), state.
+
+    Optional capabilities mirroring the vendored VectorQuantize:
+    - stochastic gumbel sampling of codes at `sample_codebook_temp`
+      (gumbel_sample, vector_quantize_pytorch.py:88-112) — training only;
+    - rotation-trick straight-through (:240-269) instead of the identity STE;
+    - orthogonal codebook regularizer (:279-284; value-only under EMA
+      codebooks, which receive no gradients);
+    - codebook diversity (negative entropy) loss (:1173-1180) — its gradient
+      reaches the encoder through the distances;
+    - affine codebook adaptation (:414-463): codebook re-standardized to the
+      running batch moments before distance/lookup, with `psum`-reduced batch
+      stats when `axis_name` is set (the sync_affine_param path).
+    """
     B, D, T = x.shape
     flat = jnp.swapaxes(x, 1, 2).reshape(-1, D).astype(jnp.float32)
 
@@ -89,17 +142,53 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
 
         state = jax.lax.cond(state["initted"] > 0, lambda s: s, do_init, state)
 
+    if affine_param and training:
+        cb = state["embed"]
+        cb_mean = jnp.mean(cb, axis=0)
+        cb_var = jnp.var(cb, axis=0)
+        n_vec = maybe_psum(jnp.asarray(float(flat.shape[0])))
+        b_mean = maybe_psum(jnp.sum(flat, axis=0)) / n_vec
+        b_var = maybe_psum(jnp.sum(jnp.square(flat - b_mean), axis=0)) / n_vec
+
+        def upd(old, new, d):
+            return jnp.where(state["affine_initted"] > 0, old * d + new * (1 - d), new)
+
+        state = {**state,
+                 "codebook_mean": upd(state["codebook_mean"], cb_mean, affine_codebook_decay),
+                 "codebook_var": upd(state["codebook_var"], cb_var, affine_codebook_decay),
+                 "batch_mean": upd(state["batch_mean"], b_mean, affine_batch_decay),
+                 "batch_var": upd(state["batch_var"], b_var, affine_batch_decay),
+                 "affine_initted": jnp.asarray(1.0)}
+
     embed = state["embed"]
+    if affine_param:
+        cb_std = jnp.sqrt(jnp.clip(state["codebook_var"], 1e-5))
+        b_std = jnp.sqrt(jnp.clip(state["batch_var"], 1e-5))
+        embed = ((embed - state["codebook_mean"]) * (b_std / cb_std)
+                 + state["batch_mean"])
     dist = (jnp.sum(flat * flat, 1, keepdims=True) - 2 * flat @ embed.T
             + jnp.sum(embed * embed, 1)[None])
-    indices = jnp.argmin(dist, axis=1)
+    if training and stochastic_sampling and sample_codebook_temp > 0 and rng is not None:
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(jax.random.fold_in(rng, 7), dist.shape,
+                               minval=1e-9, maxval=1.0) + 1e-20))
+        indices = jnp.argmax(-dist / sample_codebook_temp + g, axis=1)
+    else:
+        indices = jnp.argmin(dist, axis=1)
     quantized = jnp.take(embed, indices, axis=0)
 
     new_state = state
     if training:
         onehot = jax.nn.one_hot(indices, embed.shape[0], dtype=jnp.float32)
         counts = maybe_psum(onehot.sum(0))
-        sums = maybe_psum(onehot.T @ flat)
+        if affine_param:
+            # accumulate EMA stats in CODEBOOK coordinates (the reference
+            # back-transforms the batch before the embed-sum update)
+            flat_cb = ((flat - state["batch_mean"]) * (cb_std / b_std)
+                       + state["codebook_mean"])
+            sums = maybe_psum(onehot.T @ flat_cb)
+        else:
+            sums = maybe_psum(onehot.T @ flat)
         cluster_size = state["cluster_size"] * decay + counts * (1 - decay)
         embed_avg = state["embed_avg"] * decay + sums * (1 - decay)
         n = jnp.sum(cluster_size)
@@ -117,9 +206,22 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
         new_state = {**state, "embed": new_embed, "embed_avg": embed_avg,
                      "cluster_size": cluster_size}
 
-    commit = commitment * jnp.mean(
+    loss = commitment * jnp.mean(
         jnp.square(flat.reshape(B, T, D) - jax.lax.stop_gradient(quantized.reshape(B, T, D))),
         axis=(1, 2))
-    q = flat + jax.lax.stop_gradient(quantized - flat)  # STE
+    if training and diversity_weight > 0:
+        prob = jax.nn.softmax(-dist * diversity_temperature, axis=-1)
+        avg_prob = jnp.mean(prob, axis=0)
+        neg_entropy = jnp.sum(avg_prob * jnp.log(jnp.clip(avg_prob, 1e-12)))
+        loss = loss + diversity_weight * neg_entropy
+    if training and orthogonal_reg_weight > 0:
+        normed = embed / jnp.linalg.norm(embed, axis=-1, keepdims=True).clip(1e-12)
+        cos = normed @ normed.T
+        n = embed.shape[0]
+        loss = loss + orthogonal_reg_weight * (jnp.sum(cos ** 2) / n ** 2 - 1.0 / n)
+    if rotation_trick:
+        q = _rotate_to(flat, quantized)
+    else:
+        q = flat + jax.lax.stop_gradient(quantized - flat)  # STE
     q = jnp.swapaxes(q.reshape(B, T, D), 1, 2).astype(x.dtype)
-    return EmaVQResult(q, indices.reshape(B, T), commit, new_state)
+    return EmaVQResult(q, indices.reshape(B, T), loss, new_state)

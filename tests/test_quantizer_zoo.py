@@ -251,3 +251,74 @@ def test_qinco_training_grads_and_loss():
     assert np.isfinite(float(loss))
     assert float(jnp.abs(grads["codebooks"]).sum()) > 0
     assert float(jnp.abs(grads["mlps"][0]["w_cond"]).sum()) > 0
+
+
+def test_ema_vq_rotation_trick():
+    """Rotation trick: forward value equals the quantized vector, but the
+    gradient through x differs from the identity STE."""
+    state = init_ema_vq(jax.random.key(0), codebook_size=8, dim=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 6).astype(np.float32))
+    plain = ema_vq_apply(state, x)
+    rot = ema_vq_apply(state, x, rotation_trick=True)
+    np.testing.assert_allclose(np.asarray(rot.quantized),
+                               np.asarray(plain.quantized), rtol=1e-5, atol=1e-5)
+
+    def f(x, **kw):
+        return jnp.sum(jnp.sin(ema_vq_apply(state, x, **kw).quantized))
+
+    g_plain = jax.grad(f)(x)
+    g_rot = jax.grad(lambda x: f(x, rotation_trick=True))(x)
+    assert np.all(np.isfinite(np.asarray(g_rot)))
+    assert not np.allclose(np.asarray(g_plain), np.asarray(g_rot))
+
+
+def test_ema_vq_gumbel_sampling():
+    """temp>0 + stochastic: training codes vary with the rng; temp=0 matches
+    the deterministic argmin."""
+    state = init_ema_vq(jax.random.key(0), codebook_size=32, dim=4)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 4, 64).astype(np.float32))
+    base = ema_vq_apply(state, x, training=True, rng=jax.random.key(0),
+                        threshold_ema_dead_code=0.0)
+    samp1 = ema_vq_apply(state, x, training=True, rng=jax.random.key(1),
+                         threshold_ema_dead_code=0.0,
+                         stochastic_sampling=True, sample_codebook_temp=5.0)
+    samp2 = ema_vq_apply(state, x, training=True, rng=jax.random.key(2),
+                         threshold_ema_dead_code=0.0,
+                         stochastic_sampling=True, sample_codebook_temp=5.0)
+    assert not np.array_equal(np.asarray(samp1.indices), np.asarray(samp2.indices))
+    det = ema_vq_apply(state, x, training=True, rng=jax.random.key(3),
+                       threshold_ema_dead_code=0.0,
+                       stochastic_sampling=True, sample_codebook_temp=0.0)
+    np.testing.assert_array_equal(np.asarray(det.indices), np.asarray(base.indices))
+
+
+def test_ema_vq_regularizers_and_affine():
+    """Diversity gradient reaches the encoder input; orthogonal term adds to
+    the loss; affine adaptation updates moment state and keeps EMA finite."""
+    state = init_ema_vq(jax.random.key(0), codebook_size=8, dim=4,
+                        affine_param=True)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 4, 16).astype(np.float32))
+
+    def loss_div(x):
+        r = ema_vq_apply(state, x, training=True, rng=jax.random.key(0),
+                         diversity_weight=1.0)
+        return jnp.sum(r.loss)
+
+    g = jax.grad(loss_div)(x)
+    assert float(jnp.abs(g).sum()) > 0
+
+    base = ema_vq_apply(state, x, training=True, rng=jax.random.key(0))
+    orth = ema_vq_apply(state, x, training=True, rng=jax.random.key(0),
+                        orthogonal_reg_weight=10.0)
+    assert not np.allclose(np.asarray(base.loss), np.asarray(orth.loss))
+
+    s = state
+    for i in range(3):
+        r = ema_vq_apply(s, x, training=True, rng=jax.random.key(i),
+                         affine_param=True)
+        s = r.state
+    assert float(s["affine_initted"]) == 1.0
+    assert np.all(np.isfinite(np.asarray(s["batch_mean"])))
+    assert np.all(np.isfinite(np.asarray(s["embed"])))
+    # batch moments moved toward the data's
+    assert float(jnp.abs(s["batch_mean"]).sum()) > 0
