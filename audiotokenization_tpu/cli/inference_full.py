@@ -78,6 +78,24 @@ def main(argv=None):
 
     out_dir = Path(args.save_path) / args.output_folder
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    # tee stdout to <out_dir>/log.txt (reference: inference_full.py:828-842)
+    class _Tee:
+        def __init__(self, stream, path):
+            self._s = stream
+            self._f = open(path, "a")
+
+        def write(self, data):
+            self._s.write(data)
+            self._f.write(data)
+
+        def flush(self):
+            self._s.flush()
+            self._f.flush()
+
+    import sys as _sys
+
+    _sys.stdout = _Tee(_sys.stdout, out_dir / "log.txt")
     sys.stdout = Tee(out_dir / "log.txt")
 
     cfg, params = load_model(args.save_path)

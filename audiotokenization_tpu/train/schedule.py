@@ -27,3 +27,22 @@ def warmup_lr_schedule(*, warmup_step: int = 1000, down_step: int = 500000,
         return jnp.where(step < s1, warm, jnp.where(step < s2, lin, min_lr))
 
     return schedule
+
+
+def cosine_decay_with_warmup_schedule(*, total_steps: int = 1000,
+                                      warmup_steps: int = 100,
+                                      max_lr: float = 1e-3,
+                                      min_lr: float = 1e-7):
+    """Linear warmup -> cosine decay to min_lr.
+
+    Reference: get_cosine_decay_with_warmup (BigCodec_SSL/inference_full.py:
+    406-418) — the offline harness's training-mode schedule.
+    """
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = max_lr * step / max(warmup_steps, 1)
+        cos = 0.5 * (1.0 + jnp.cos(
+            jnp.pi * (step - warmup_steps) / max(total_steps - warmup_steps, 1)))
+        return jnp.where(step < warmup_steps, warm, min_lr + (max_lr - min_lr) * cos)
+
+    return schedule

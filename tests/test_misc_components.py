@@ -109,3 +109,24 @@ def test_tokenize_fast_mode():
     assert fast.shape == ref.shape and fast.dtype == ref.dtype
     # bf16 encoder on random weights: the overwhelming majority of argmins agree
     assert (fast == ref).mean() > 0.9, (fast == ref).mean()
+
+
+def test_cosine_decay_with_warmup_matches_reference_formula():
+    import math
+
+    import numpy as np
+
+    from audiotokenization_tpu.train.schedule import cosine_decay_with_warmup_schedule
+
+    total, warm, mx, mn = 1000, 100, 1e-3, 1e-7
+    sched = cosine_decay_with_warmup_schedule(
+        total_steps=total, warmup_steps=warm, max_lr=mx, min_lr=mn)
+
+    def ref(step):
+        if step < warm:
+            return mx * step / warm
+        cd = 0.5 * (1 + math.cos(math.pi * (step - warm) / (total - warm)))
+        return mn + (mx - mn) * cd
+
+    for s in (0, 1, 50, 99, 100, 101, 500, 999, 1000):
+        np.testing.assert_allclose(float(sched(s)), ref(s), rtol=1e-5, atol=1e-10)
