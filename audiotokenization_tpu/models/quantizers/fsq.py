@@ -92,3 +92,45 @@ def init_fsq(key, *, dim: int, levels):
     k1, k2 = jax.random.split(key)
     return {"project_in": init_linear(k1, dim, d),
             "project_out": init_linear(k2, d, dim)}
+
+
+def residual_fsq_apply(params, z, *, levels, num_quantizers: int):
+    """Residual FSQ with the reference's per-layer scales.
+
+    Reference: lucidrains ResidualFSQ (BigCodec_SSL/vq/
+    vector_quantize_pytorch_lucidrains/residual_fsq.py:81-98,202-210):
+    layer i quantizes residual / scale_i with scale_i = (levels-1)^-i
+    (per-dim), de-scales, subtracts (detached) and accumulates.
+    z: (B, dim, T) -> (out (B, dim, T), indices (Nq, B, T)).
+    """
+    zt = jnp.swapaxes(z, 1, 2)
+    proj = linear(zt, params["project_in"]) if "project_in" in params else zt
+    orig_dtype = proj.dtype
+    residual = proj.astype(jnp.float32)
+    lv = np.asarray(levels, np.float64)
+    out = jnp.zeros_like(residual)
+    idxs = []
+    for i in range(num_quantizers):
+        scale = jnp.asarray((lv - 1.0) ** -float(i), jnp.float32)
+        codes = fsq_quantize_codes(residual / scale, levels)
+        q = codes * scale
+        idxs.append(fsq_codes_to_indices(codes, levels))
+        residual = residual - jax.lax.stop_gradient(q)
+        out = out + q
+    out = out.astype(orig_dtype)
+    if "project_out" in params:
+        out = linear(out, params["project_out"])
+    return jnp.swapaxes(out, 1, 2), jnp.stack(idxs)
+
+
+def residual_fsq_codes_to_emb(indices, *, levels, params=None):
+    """indices (Nq, B, T) -> summed scaled codes (B, T, dim), projected out."""
+    lv = np.asarray(levels, np.float64)
+    out = None
+    for i in range(indices.shape[0]):
+        scale = jnp.asarray((lv - 1.0) ** -float(i), jnp.float32)
+        c = fsq_indices_to_codes(indices[i], levels) * scale
+        out = c if out is None else out + c
+    if params is not None and "project_out" in params:
+        out = linear(out, params["project_out"])
+    return out

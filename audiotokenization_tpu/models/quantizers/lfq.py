@@ -32,13 +32,18 @@ def _bits_to_codes(bits, scale):
 def lfq_apply(x, *, codebook_dim: Optional[int] = None, spherical: bool = False,
               entropy_weight: float = 0.1, commit_weight: float = 0.25,
               diversity_gamma: float = 1.0, inv_temperature: float = 100.0,
-              training: bool = False, axis_name: Optional[str] = None) -> LFQResult:
-    """x: (B, D, T) with D = codebook_dim (bits). Returns codes in {-scale, scale}."""
+              training: bool = False, axis_name: Optional[str] = None,
+              codebook_scale: float = 1.0) -> LFQResult:
+    """x: (B, D, T) with D = codebook_dim (bits). Returns codes in {-scale, scale}.
+
+    codebook_scale shrinks the code magnitude (residual stacking: layer i
+    uses 2^-i — lucidrains residual_lfq.py:72-76).
+    """
     B, D, T = x.shape
     flat = jnp.swapaxes(x, 1, 2).reshape(-1, D).astype(jnp.float32)
-    scale = 1.0
+    scale = codebook_scale
     if spherical:
-        scale = 1.0 / np.sqrt(D)
+        scale = codebook_scale / np.sqrt(D)
         flat = flat / jnp.maximum(jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
     codes = jnp.where(flat > 0, scale, -scale)
     powers = jnp.asarray(2 ** np.arange(D), jnp.int32)
@@ -70,7 +75,8 @@ def lfq_apply(x, *, codebook_dim: Optional[int] = None, spherical: bool = False,
     return LFQResult(q, indices.reshape(B, T), entropy_aux, commit)
 
 
-def lfq_indices_to_codes(indices, *, codebook_dim: int, spherical: bool = False):
-    scale = 1.0 / np.sqrt(codebook_dim) if spherical else 1.0
+def lfq_indices_to_codes(indices, *, codebook_dim: int, spherical: bool = False,
+                         codebook_scale: float = 1.0):
+    scale = codebook_scale / np.sqrt(codebook_dim) if spherical else codebook_scale
     bits = ((indices[..., None] >> jnp.arange(codebook_dim)) & 1).astype(jnp.float32)
     return _bits_to_codes(bits, scale)

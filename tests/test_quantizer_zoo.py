@@ -322,3 +322,50 @@ def test_ema_vq_regularizers_and_affine():
     assert np.all(np.isfinite(np.asarray(s["embed"])))
     # batch moments moved toward the data's
     assert float(jnp.abs(s["batch_mean"]).sum()) > 0
+
+
+def test_residual_fsq_parity_vs_reference():
+    """Per-layer-scales ResidualFSQ: golden parity incl. decode-from-indices."""
+    from audiotokenization_tpu.models.quantizers import fsq as FSQm
+
+    rfsq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.residual_fsq")
+    torch.manual_seed(0)
+    levels = [8, 5, 5, 3]
+    ref = rfsq_mod.ResidualFSQ(levels=levels, num_quantizers=3,
+                               dim=len(levels)).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, len(levels)).astype(np.float32)  # (b, n, d)
+    with torch.no_grad():
+        q_ref, idx_ref = ref(torch.from_numpy(x))
+    out, idx = FSQm.residual_fsq_apply(
+        {}, jnp.asarray(np.swapaxes(x, 1, 2)), levels=tuple(levels),
+        num_quantizers=3)
+    np.testing.assert_array_equal(np.asarray(idx).transpose(1, 2, 0),
+                                  idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(out).swapaxes(1, 2), q_ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    with torch.no_grad():
+        dec_ref = ref.get_output_from_indices(idx_ref)
+    dec = FSQm.residual_fsq_codes_to_emb(idx, levels=tuple(levels))
+    np.testing.assert_allclose(np.asarray(dec), dec_ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_residual_lfq_scales():
+    """Residual LFQ via the combinator with the reference's 2^-i layer scales:
+    stacking reduces quantization error and round-trips through indices."""
+    from audiotokenization_tpu.models.quantizers.lfq import (
+        lfq_apply, lfq_indices_to_codes)
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 6, 10).astype(np.float32))
+    fns = [lambda v, i=i: lfq_apply(v, codebook_scale=2.0 ** -i)[:2] + (jnp.zeros((2,)),)
+           for i in range(3)]
+    q, idx, _ = residual_quantize(fns, x)
+    e1 = float(jnp.mean((lfq_apply(x).quantized - x) ** 2))
+    e3 = float(jnp.mean((q - x) ** 2))
+    assert e3 < e1
+    dec = sum(jnp.swapaxes(lfq_indices_to_codes(
+        idx[i], codebook_dim=6, codebook_scale=2.0 ** -i), 1, 2)
+        for i in range(3))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(q), rtol=1e-5, atol=1e-6)
