@@ -36,11 +36,26 @@ def _round_ste(z):
     return z + jax.lax.stop_gradient(jnp.round(z) - z)
 
 
-def fsq_quantize_codes(z, levels):
-    """z: (..., d) fp32 -> normalized codes in [-1, 1] with STE."""
+def fsq_quantize_codes(z, levels, *, preserve_symmetry: bool = False,
+                       noise_key=None):
+    """z: (..., d) fp32 -> normalized codes in [-1, 1] with STE.
+
+    Variants from finite_scalar_quantization.py:123-150:
+    - preserve_symmetry: QL(x) = 2/(L-1)·[(L-1)(tanh x + 1)/2 + 0.5] - 1
+      (section 3.2 of arXiv 2411.19842);
+    - noise_key (training): noise-approximated quantization
+      tanh(x) + U(-1,1)/(L-1) instead of the hard bound+round.
+    """
     lv, _ = _levels_arrays(levels)
     lv = lv.astype(z.dtype)
-    q = _round_ste(_bound(z, lv))
+    if noise_key is not None:
+        noise = jax.random.uniform(noise_key, z.shape, z.dtype, -1.0, 1.0)
+        bounded = jnp.tanh(z) + noise / (lv - 1)
+    elif preserve_symmetry:
+        bounded = (2.0 / (lv - 1)) * ((lv - 1) * (jnp.tanh(z) + 1) / 2.0 + 0.5) - 1.0
+    else:
+        bounded = _bound(z, lv)
+    q = _round_ste(bounded)
     half_width = jnp.asarray(np.asarray(levels, np.int32) // 2, z.dtype)
     return q / half_width
 
@@ -64,13 +79,15 @@ def fsq_implicit_codebook(levels):
     return fsq_indices_to_codes(jnp.arange(n), levels)
 
 
-def fsq_apply(params, z, *, levels):
+def fsq_apply(params, z, *, levels, preserve_symmetry: bool = False,
+              noise_key=None):
     """Channel-first forward: z (B, dim, T) -> (out (B, dim, T), indices (B, T))."""
     zt = jnp.swapaxes(z, 1, 2)  # (B, T, dim)
     proj = linear(zt, params["project_in"]) if "project_in" in params else zt
     orig_dtype = proj.dtype
     proj32 = proj.astype(jnp.float32)
-    codes = fsq_quantize_codes(proj32, levels)
+    codes = fsq_quantize_codes(proj32, levels, preserve_symmetry=preserve_symmetry,
+                               noise_key=noise_key)
     indices = fsq_codes_to_indices(codes, levels)
     codes = codes.astype(orig_dtype)
     out = linear(codes, params["project_out"]) if "project_out" in params else codes

@@ -369,3 +369,31 @@ def test_residual_lfq_scales():
         idx[i], codebook_dim=6, codebook_scale=2.0 ** -i), 1, 2)
         for i in range(3))
     np.testing.assert_allclose(np.asarray(dec), np.asarray(q), rtol=1e-5, atol=1e-6)
+
+
+def test_fsq_symmetry_and_noise_variants():
+    """preserve_symmetry: golden parity vs the vendored FSQ; noise variant:
+    bounded output, deterministic only through the STE."""
+    from audiotokenization_tpu.models.quantizers import fsq as FSQm
+
+    fsq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.finite_scalar_quantization")
+    torch.manual_seed(0)
+    levels = [5, 5, 5]
+    ref = fsq_mod.FSQ(levels=levels, channel_first=True, dim=len(levels),
+                      preserve_symmetry=True).eval()
+    z = np.random.RandomState(0).randn(2, len(levels), 7).astype(np.float32)
+    with torch.no_grad():
+        out_ref, idx_ref = ref(torch.from_numpy(z))
+    out, idx = FSQm.fsq_apply({}, jnp.asarray(z), levels=tuple(levels),
+                              preserve_symmetry=True)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+    # noise-approx: outputs stay in the code range and vary with the key
+    o1, _ = FSQm.fsq_apply({}, jnp.asarray(z), levels=tuple(levels),
+                           noise_key=jax.random.key(0))
+    o2, _ = FSQm.fsq_apply({}, jnp.asarray(z), levels=tuple(levels),
+                           noise_key=jax.random.key(1))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    assert float(jnp.abs(o1).max()) <= 1.0 + 1e-6
