@@ -46,9 +46,11 @@ def build_argparser():
     p.add_argument("--exact", action="store_true",
                    help="feed raw lengths (recompiles per unique length)")
     p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--mode", choices=("conformant", "fast"), default="conformant",
-                   help="'fast' runs the encoder in bf16 (see codec.tokenize); "
-                        "'conformant' is bit-exact vs the torch reference")
+    p.add_argument("--mode", choices=("conformant", "balanced", "fast"),
+                   default="conformant",
+                   help="'fast' runs the encoder in bf16, 'balanced' keeps the "
+                        "LSTM/tail/VQ fp32 (see codec.tokenize); 'conformant' "
+                        "is bit-exact vs the torch reference")
     return p
 
 

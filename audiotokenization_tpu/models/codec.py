@@ -165,6 +165,36 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
                        vq_code=codes, quantizer_state=qstate)
 
 
+def _encode_bigcodec_mixed(params, cfg: Config, wav):
+    """Mixed-precision bigcodec encode for tokenize(mode='balanced'):
+    conv_in + encoder blocks in bf16, LSTM/snake/conv_out in fp32."""
+    from ..ops.lstm import res_lstm
+
+    e = cfg.model.codec_encoder
+    if e.type != "bigcodec":
+        raise ValueError("balanced tokenize mode requires the bigcodec encoder")
+    enc = params["encoder"]
+    aa = bigcodec._AA(e.antialias)
+    x = wav[:, None, :].astype(jnp.bfloat16)
+    head = _cast_tree({"conv_in": enc["conv_in"], "blocks": enc["blocks"]},
+                      jnp.bfloat16)
+    x = bigcodec._wn_conv(x, head["conv_in"], padding=0 if e.causal else 3,
+                          causal=e.causal)
+    for i, stride in enumerate(e.up_ratios):
+        x = bigcodec.encoder_block(x, head["blocks"][i], stride=stride,
+                                   dilations=tuple(e.dilations),
+                                   causal=e.causal, aa=aa)
+    x = x.astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        if e.use_rnn:
+            x = res_lstm(x, enc["lstm"], num_layers=e.rnn_num_layers,
+                         bidirectional=e.rnn_bidirectional)
+        x = aa(x, enc["snake_out"])
+        x = bigcodec._wn_conv(x, enc["conv_out"], padding=0 if e.causal else 1,
+                              causal=e.causal)
+    return x
+
+
 def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
     """wav (B, T) -> token indices (Nq, B, Tf) — the extract_indices path.
 
@@ -184,6 +214,13 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
     if mode == "fast":
         enc_params = {**params, "encoder": _cast_tree(params["encoder"], jnp.bfloat16)}
         latents = encode(enc_params, cfg, wav.astype(jnp.bfloat16)).astype(jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            _, codes, _ = quantize(params, cfg, latents, training=False)
+        return codes
+    if mode == "balanced":
+        # bf16 conv blocks (the lane-bound bulk of the time), fp32 LSTM +
+        # tail + VQ (the final frames are cheap and closest to the argmin)
+        latents = _encode_bigcodec_mixed(params, cfg, wav)
         with jax.default_matmul_precision("float32"):
             _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes

@@ -33,7 +33,7 @@ def main():
 
     results = {}
     codes = {}
-    for mode in ("conformant", "fast"):
+    for mode in ("conformant", "balanced", "fast"):
         jf = jax.jit(lambda p, ws, mode=mode: jax.lax.map(
             lambda w: C.tokenize(p, cfg, w, mode=mode), ws))
         out = jf(params, wavs)
@@ -50,10 +50,11 @@ def main():
         print(f"{mode:11s}: {B/dt:7.1f} audio-s/s/chip ({dt*1e3:.1f} ms/batch)",
               flush=True)
 
-    flips = float((codes["fast"] != codes["conformant"]).mean())
-    print(f"token flip rate fast vs conformant: {flips:.4%} "
-          f"({(codes['fast'] != codes['conformant']).sum()} of {codes['fast'].size})")
-    print(f"speedup: {results['fast'] / results['conformant']:.2f}x")
+    for m in ("balanced", "fast"):
+        flips = float((codes[m] != codes["conformant"]).mean())
+        print(f"token flip rate {m} vs conformant: {flips:.4%} "
+              f"({(codes[m] != codes['conformant']).sum()} of {codes[m].size}); "
+              f"speedup {results[m] / results['conformant']:.2f}x")
 
 
 if __name__ == "__main__":

@@ -105,10 +105,12 @@ def test_tokenize_fast_mode():
     params = fold_weight_norm(C.init_codec(jax.random.key(0), cfg))
     wav = jnp.asarray(np.random.RandomState(0).randn(2, 1600).astype(np.float32) * 0.1)
     ref = np.asarray(C.tokenize(params, cfg, wav))
-    fast = np.asarray(C.tokenize(params, cfg, wav, mode="fast"))
-    assert fast.shape == ref.shape and fast.dtype == ref.dtype
-    # bf16 encoder on random weights: the overwhelming majority of argmins agree
-    assert (fast == ref).mean() > 0.9, (fast == ref).mean()
+    for mode in ("fast", "balanced"):
+        fast = np.asarray(C.tokenize(params, cfg, wav, mode=mode))
+        assert fast.shape == ref.shape and fast.dtype == ref.dtype
+        # bf16 conv stages on random weights: the overwhelming majority of
+        # argmins agree (balanced keeps the LSTM/tail/VQ fp32 so it is closer)
+        assert (fast == ref).mean() > 0.9, (mode, (fast == ref).mean())
 
 
 def test_cosine_decay_with_warmup_matches_reference_formula():

@@ -397,3 +397,24 @@ def test_fsq_symmetry_and_noise_variants():
                            noise_key=jax.random.key(1))
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
     assert float(jnp.abs(o1).max()) <= 1.0 + 1e-6
+
+
+def test_ema_vq_eval_parity_vs_reference():
+    """Deterministic eval path: identical codebook => identical codes and
+    quantized output as the vendored VectorQuantize."""
+    vq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.vector_quantize_pytorch")
+    torch.manual_seed(0)
+    D, N = 8, 32
+    ref = vq_mod.VectorQuantize(dim=D, codebook_size=N).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, D).astype(np.float32)  # (b, n, d)
+    with torch.no_grad():
+        q_ref, idx_ref, _ = ref(torch.from_numpy(x))
+    embed = ref._codebook.embed.detach().numpy()[0]  # (N, D)
+    state = init_ema_vq(jax.random.key(0), codebook_size=N, dim=D)
+    state["embed"] = jnp.asarray(embed)
+    res = ema_vq_apply(state, jnp.asarray(np.swapaxes(x, 1, 2)))
+    np.testing.assert_array_equal(np.asarray(res.indices), idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(res.quantized).swapaxes(1, 2),
+                               q_ref.numpy(), rtol=1e-5, atol=1e-6)
