@@ -46,16 +46,26 @@ def main():
             "snake2": {"alpha": jnp.zeros((C,)), "beta": jnp.zeros((C,))},
         }
 
-    def timed(fn, x_many, params):
-        f = jax.jit(lambda p, xs: jax.lax.map(lambda x: fn(p, x), xs))
-        np.asarray(f(params, x_many)[0, 0, 0, :1])  # compile+warmup
+    def _timed_at(f, params, xs):
+        np.asarray(f(params, xs)[0, 0, 0, :1])  # compile+warmup
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = f(params, x_many)
+            out = f(params, xs)
             np.asarray(out[0, 0, 0, :1])
             times.append(time.perf_counter() - t0)
-        return min(times) / K
+        return min(times)
+
+    def timed(fn, x_many, params):
+        """Offset-canceled per-item time: the tunneled backend adds a fixed
+        ~28 ms dispatch+fetch cost per call, so time K and K//4 items and
+        difference — otherwise sub-ms ops all read as ~7 ms (the bug that
+        first closed the fused-kernel investigation)."""
+        f = jax.jit(lambda p, xs: jax.lax.map(lambda x: fn(p, x), xs))
+        k1 = max(1, K // 4)
+        t_small = _timed_at(f, params, x_many[:k1])
+        t_big = _timed_at(f, params, x_many)
+        return (t_big - t_small) / (K - k1)
 
     aa = lambda x, p: x + (1.0 / (jnp.exp(p["beta"])[:, None] + 1e-9)) * jnp.sin(jnp.exp(p["alpha"])[:, None] * x) ** 2
 

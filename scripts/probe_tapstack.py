@@ -15,11 +15,15 @@ contraction dim (K=C_in) and column dim (N=C_out) below 128. Two fixes:
 FLOPs identical to the conv except tapsplit's pad-to-8 adds k/8 overhead.
 All variants fp32 HIGHEST (conformance precision).
 
-Usage: PYTHONPATH=. python scripts/probe_tapstack.py
+Usage: python scripts/probe_tapstack.py
 """
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 K_TAPS = 7
 
@@ -83,6 +87,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from audiotokenization_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     conv_ref, tapmm, tapsplit = build_variants(jax, jnp)
     B, K = 32, 4
     stages = [(48, 16000), (96, 8000), (192, 4000), (384, 2000)]
