@@ -46,7 +46,7 @@ def build_argparser():
     p.add_argument("--exact", action="store_true",
                    help="feed raw lengths (recompiles per unique length)")
     p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--mode", choices=("conformant", "balanced", "fast"),
+    p.add_argument("--mode", choices=("conformant", "high", "balanced", "fast"),
                    default="conformant",
                    help="'fast' runs the encoder in bf16, 'balanced' keeps the "
                         "LSTM/tail/VQ fp32 (see codec.tokenize); 'conformant' "

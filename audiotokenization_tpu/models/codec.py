@@ -204,6 +204,10 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
     token mismatch vs a CPU fp32 oracle from ~27% to ~0.3% on random weights
     (remaining flips are genuine near-ties, absent with trained codebooks).
 
+    mode='high': encoder matmuls in the bf16_3x ('tensorfloat32') tier —
+    near-fp32 accuracy at roughly half the 6-pass HIGHEST cost; VQ stays
+    full fp32.
+
     mode='fast': encoder convs/LSTM run bf16 (params cast at trace time, so
     XLA folds the casts into first use); only the VQ projection + distance
     argmin stay fp32. ~2x faster on the MXU-bound stages; token flip rate vs
@@ -221,6 +225,17 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
         # bf16 conv blocks (the lane-bound bulk of the time), fp32 LSTM +
         # tail + VQ (the final frames are cheap and closest to the argmin)
         latents = _encode_bigcodec_mixed(params, cfg, wav)
+        with jax.default_matmul_precision("float32"):
+            _, codes, _ = quantize(params, cfg, latents, training=False)
+        return codes
+    if mode == "high":
+        # bf16_3x matmul passes (TPU 'tensorfloat32' tier): ~fp32-grade
+        # accumulation at a fraction of HIGHEST's 6-pass cost; params/
+        # activations stay fp32 and only the VQ distance/argmin is pinned
+        # to full fp32. Flip rate vs conformant is measured by
+        # scripts/bench_fast_tokenize.py.
+        with jax.default_matmul_precision("tensorfloat32"):
+            latents = encode(params, cfg, wav)
         with jax.default_matmul_precision("float32"):
             _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes

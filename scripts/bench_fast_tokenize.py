@@ -33,7 +33,7 @@ def main():
 
     results = {}
     codes = {}
-    for mode in ("conformant", "balanced", "fast"):
+    for mode in ("conformant", "high", "balanced", "fast"):
         jf = jax.jit(lambda p, ws, mode=mode: jax.lax.map(
             lambda w: C.tokenize(p, cfg, w, mode=mode), ws))
         out = jf(params, wavs)
@@ -50,7 +50,7 @@ def main():
         print(f"{mode:11s}: {B/dt:7.1f} audio-s/s/chip ({dt*1e3:.1f} ms/batch)",
               flush=True)
 
-    for m in ("balanced", "fast"):
+    for m in ("high", "balanced", "fast"):
         flips = float((codes[m] != codes["conformant"]).mean())
         print(f"token flip rate {m} vs conformant: {flips:.4%} "
               f"({(codes[m] != codes['conformant']).sum()} of {codes[m].size}); "

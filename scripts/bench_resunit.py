@@ -7,9 +7,13 @@ bench.py (block_until_ready is unreliable on the tunneled backend).
 Usage: python scripts/bench_resunit.py [--versions 1,4] [--stages 48,96,192]
 """
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -17,7 +21,7 @@ def main():
     ap.add_argument("--versions", default="1,4")
     ap.add_argument("--stages", default="96,192",
                     help="channel counts; T inferred from the encoder schedule")
-    ap.add_argument("--dilation", type=int, default=3)
+    ap.add_argument("--dilation", default="3", help="comma list")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=8, help="distinct inputs per timed call")
     args = ap.parse_args()
@@ -32,7 +36,8 @@ def main():
     stage_T = {48: 16000, 96: 8000, 192: 4000, 384: 2000, 768: 400}
     versions = [int(v) for v in args.versions.split(",")]
     stages = [int(c) for c in args.stages.split(",")]
-    B, K, d = args.batch, args.reps, args.dilation
+    B, K = args.batch, args.reps
+    dilations = [int(v) for v in str(args.dilation).split(",")]
     rng = np.random.RandomState(0)
 
     def make_params(C, key):
@@ -70,9 +75,13 @@ def main():
     aa = lambda x, p: x + (1.0 / (jnp.exp(p["beta"])[:, None] + 1e-9)) * jnp.sin(jnp.exp(p["alpha"])[:, None] * x) ** 2
 
     for C in stages:
+      for d in dilations:
         T = stage_T[C]
         params = make_params(C, jax.random.key(C))
-        x_many = jnp.asarray(rng.randn(K, B, C, T).astype(np.float32) * 0.1)
+        # generate on device: the tunnel moves ~50 MB/s, multi-GB inputs
+        # must not cross it
+        x_many = jax.jit(lambda k: jax.random.normal(k, (K, B, C, T), jnp.float32)
+                         * 0.1)(jax.random.key(17 * C + 1))
         # HBM bytes moved by the ideal fused kernel: read x + write out
         ideal_gb = 2 * B * C * T * 4 / 1e9
 

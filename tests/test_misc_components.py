@@ -105,11 +105,13 @@ def test_tokenize_fast_mode():
     params = fold_weight_norm(C.init_codec(jax.random.key(0), cfg))
     wav = jnp.asarray(np.random.RandomState(0).randn(2, 1600).astype(np.float32) * 0.1)
     ref = np.asarray(C.tokenize(params, cfg, wav))
-    for mode in ("fast", "balanced"):
+    for mode in ("fast", "balanced", "high"):
         fast = np.asarray(C.tokenize(params, cfg, wav, mode=mode))
         assert fast.shape == ref.shape and fast.dtype == ref.dtype
         # bf16 conv stages on random weights: the overwhelming majority of
-        # argmins agree (balanced keeps the LSTM/tail/VQ fp32 so it is closer)
+        # argmins agree (balanced keeps the LSTM/tail/VQ fp32 so it is
+        # closer; 'high' = bf16_3x passes is closer still — on CPU both
+        # precisions lower to fp32, so 'high' is exact there)
         assert (fast == ref).mean() > 0.9, (mode, (fast == ref).mean())
 
 
