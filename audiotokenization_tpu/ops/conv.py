@@ -39,6 +39,22 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding=0, dilation: int = 1,
         pad = [(padding, padding)]
     else:
         pad = [tuple(padding)]
+    if w.shape[-1] == 1 and groups == 1:
+        # Pointwise conv as a dot: XLA's TPU conv emitter runs k=1 convs
+        # lane-serially (~1.2 TF/s measured at C=48, scripts/
+        # profile_train_step.py — they were the largest single cost family
+        # of the train step); einsum over the channel dim hits the MXU's
+        # matmul path instead (~20x). The activation layout is C-minor, so
+        # the contraction is already on lanes. Autodiff then yields dots
+        # for the weight/data grads too, with the same win.
+        if pad[0] != (0, 0):
+            x = jnp.pad(x, ((0, 0), (0, 0), pad[0]))
+        if stride != 1:
+            x = x[:, :, ::stride]
+        out = jnp.einsum("bct,oc->bot", x, w[:, :, 0], precision=precision)
+        if b is not None:
+            out = out + b[None, :, None]
+        return out
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),

@@ -44,7 +44,10 @@ def main():
             cfg.train.precision = precision
             cfg.train.remat = remat
             state = init_train_state(jax.random.key(0), cfg)
-            step = jit_train_step(cfg, donate=False)
+            # donate like the real training loop: the chained s -> step(s, ..)
+            # pattern is donation-safe and the ~2.6 GB of param+opt buffers
+            # otherwise double-buffer and understate what fits in HBM
+            step = jit_train_step(cfg, donate=True)
             B = 32
             wav = jnp.asarray(
                 np.random.RandomState(0).randn(B, 16000).astype(np.float32) * 0.1)
