@@ -51,6 +51,11 @@ def build_argparser():
                    help="'fast' runs the encoder in bf16, 'balanced' keeps the "
                         "LSTM/tail/VQ fp32 (see codec.tokenize); 'conformant' "
                         "is bit-exact vs the torch reference")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="shard each utterance across every attached device "
+                        "(parallel/sp.py exact halo+LSTM-relay tokenizer); "
+                        "token-identical to single-device, built for long "
+                        "files on a multi-chip slice")
     return p
 
 
@@ -119,9 +124,18 @@ def main(argv=None):
     out_dir = Path(args.save_path) / args.output_folder
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    @jax.jit
-    def tokenize(params, wav):
-        return C.tokenize(params, cfg, wav, mode=args.mode)
+    if args.sequence_parallel:
+        from ..parallel.mesh import make_data_mesh
+        from ..parallel.sp import make_sp_tokenizer
+
+        sp_mode = "conformant" if args.mode == "balanced" else args.mode
+        sp_tok = make_sp_tokenizer(cfg, make_data_mesh(), mode=sp_mode)
+    else:
+        sp_tok = None
+
+        @jax.jit
+        def tokenize(params, wav):
+            return C.tokenize(params, cfg, wav, mode=args.mode)
 
     count = 0
     errors = 0
@@ -143,8 +157,11 @@ def main(argv=None):
             audio_seconds += len(wav) / args.sample_rate
             if not args.exact and len(wav) % hop != 0:
                 wav = np.pad(wav, (0, hop - len(wav) % hop))
-            codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)
-            codes = np.asarray(codes)[:, 0]  # (Nq, T)
+            if sp_tok is not None:
+                codes = np.asarray(sp_tok(params, jnp.asarray(wav)))  # (Nq, T)
+            else:
+                codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)
+                codes = np.asarray(codes)[:, 0]  # (Nq, T)
             indices = codes.T if codes.shape[0] > 1 else codes[0]  # (T, Nq) | (T,)
             speaker, chapter = parse_fileid(fileid)
             sub_dir = out_dir / subset / speaker / chapter

@@ -1,0 +1,270 @@
+"""Sequence-parallel long-audio tokenization over a device mesh.
+
+The reference has no sequence parallelism — long files are handled by data
+policy (1 s training crops, full-length batch-1 eval; SURVEY.md §5.7). On a
+TPU slice the idiomatic extension is to shard ONE long utterance across the
+mesh: every chip runs the convolutional encoder front on its own time-slice
+(the FLOP-dominant ~90% of tokenization, embarrassingly parallel once halos
+are exchanged over ICI), and only the cheap 80 Hz recurrent tail is chained.
+
+Two LSTM policies:
+
+- ``lstm="exact"`` (default): the conv front is exactly parallel — each
+  device's window is extended with ``ctx`` samples of real neighbor audio
+  via `ppermute` (edge devices receive zeros, which is identical to the
+  zero padding the full-sequence convs see), so interior latents match the
+  single-device computation bit for bit. The unidirectional ResLSTM state
+  is then chained device-to-device with an n-phase `ppermute` relay: device
+  d's scan starts from device d-1's final (h, c), so the recurrence is the
+  SAME sequence of per-frame operations as the full-length scan — tokens
+  are exactly equal to `codec.tokenize` on one device (test-asserted).
+  Wall-clock for the LSTM segment stays sequential (it is a recurrence),
+  but that is ~10% of the profile; the convs scale with the mesh.
+
+- ``lstm="reset"``: fully parallel warm-up approximation — every device
+  tokenizes its halo-extended window independently (LSTM state starts at
+  zero and converges over the ``ctx`` warm-up), exactly the semantics of
+  utils.chunked but as one SPMD program. Works for any encoder type;
+  interior tokens agree with the full sequence except for rare argmin
+  near-ties downstream of the decayed LSTM transient.
+
+Communication is 3 small `ppermute`s (sample halos, LSTM state relay,
+post-LSTM frame halos) — all neighbor-only, riding ICI on a real slice.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config
+from ..models import bigcodec
+from ..models import codec as C
+from ..ops.conv import get_weight, conv1d
+from ..ops.lstm import res_lstm_streaming
+from ..utils.chunked import receptive_field_samples
+
+
+def _shift_from_left(x, axis_name, n):
+    """Every device receives x from its LEFT neighbor (device 0 gets zeros)."""
+    return jax.lax.ppermute(x, axis_name, [(i, i + 1) for i in range(n - 1)])
+
+
+def _shift_from_right(x, axis_name, n):
+    """Every device receives x from its RIGHT neighbor (device n-1 gets zeros)."""
+    return jax.lax.ppermute(x, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+
+def _edge_mask(x, start, S, T):
+    """Zero positions whose GLOBAL index falls outside [0, T) at stride scale S.
+
+    The full-sequence conv stack zero-pads ITS OWN input at every layer, so
+    layer-k values outside the real sequence are exactly zero there. A halo
+    window, by contrast, lets earlier layers bleed real audio into the
+    out-of-range region (conv_in's receptive field reaches real samples from
+    global t < 0). Re-zeroing after each conv reproduces the layer-wise
+    padding bit for bit; interior devices' masks are all-ones (no effect).
+    start: traced global index (at scale S=1) of the window's first sample.
+    """
+    g = start // S + jnp.arange(x.shape[-1])
+    return x * ((g >= 0) & (g < T // S)).astype(x.dtype)
+
+
+def _conv_front(enc, e, x, start, T):
+    """BigCodec encoder conv stack only (conv_in + blocks), no LSTM/tail.
+
+    Mirrors bigcodec.bigcodec_encode up to the ResLSTM
+    (BigCodec_SSL/vq/codec_encoder.py:33-50), with `_edge_mask` after every
+    conv so the window computation equals the full-sequence one at the true
+    sequence edges. x: (B, 1, Tw) -> (B, C, Tw/hop).
+    """
+    aa = bigcodec._AA(e.antialias)
+    x = bigcodec._wn_conv(x, enc["conv_in"], padding=0 if e.causal else 3,
+                          causal=e.causal)
+    S = 1
+    x = _edge_mask(x, start, S, T)
+    for i, stride in enumerate(e.up_ratios):
+        p = enc["blocks"][i]
+        for j, d in enumerate(tuple(e.dilations)):
+            x = bigcodec.residual_unit(x, p["units"][j], dilation=d,
+                                       causal=e.causal, aa=aa)
+            x = _edge_mask(x, start, S, T)
+        x = aa(x, p["snake"])
+        if stride != 1:
+            pad = 0 if e.causal else stride // 2 + stride % 2
+            x = bigcodec._wn_conv(x, p["down"], stride=stride, padding=pad,
+                                  causal=e.causal)
+        else:
+            x = bigcodec._wn_conv(x, p["down"])
+        S *= stride
+        x = _edge_mask(x, start, S, T)
+    return x
+
+
+def _tail(enc, e, x, axis_name, n):
+    """Post-LSTM tail (Snake -> WNConv k3) with 1-frame neighbor halos.
+
+    The final conv (vq/codec_encoder.py:50, k=3 pad=1 / causal left-pad 2)
+    reaches one frame across the chunk boundary; fetch it from neighbors so
+    the valid convolution over the extended window reproduces the
+    full-sequence output. Edge devices get ppermute zeros == the zero pad
+    the full-sequence conv uses.
+    """
+    lpad, rpad = (2, 0) if e.causal else (1, 1)
+    left = _shift_from_left(x[:, :, -lpad:], axis_name, n)
+    parts = [left, x]
+    if rpad:
+        parts.append(_shift_from_right(x[:, :, :rpad], axis_name, n))
+    xx = jnp.concatenate(parts, axis=2)
+    aa = bigcodec._AA(e.antialias)
+    xx = aa(xx, enc["snake_out"])
+    return conv1d(xx, get_weight(enc["conv_out"]), enc["conv_out"].get("b"),
+                  padding=0)
+
+
+def _lstm_relay(enc, e, lat, my, axis_name, n):
+    """Chain the unidirectional ResLSTM state across devices (n phases).
+
+    Phase p computes every device's scan, but only device p's input state is
+    the true chain state, so only it keeps its output; the final (h, c) is
+    ppermuted one hop right each phase. After n phases each device holds the
+    output it would have produced inside the full-length scan. Redundant
+    compute (n x the LSTM FLOPs) is the price of SPMD; wall time equals the
+    inherently sequential full-sequence scan for this ~10%-of-profile stage.
+    """
+    if e.rnn_bidirectional:
+        raise NotImplementedError(
+            "exact sequence-parallel LSTM relay is unidirectional; use "
+            "lstm='reset' for bidirectional encoder RNNs")
+    B, F, _ = lat.shape
+    hdim = enc["lstm"][0]["w_hh"].shape[1]
+    zero = [(jnp.zeros((B, hdim), lat.dtype), jnp.zeros((B, hdim), lat.dtype))
+            for _ in range(e.rnn_num_layers)]
+
+    def phase(p, carry):
+        keep, state = carry
+        out, fin = res_lstm_streaming(lat, enc["lstm"], state,
+                                      num_layers=e.rnn_num_layers)
+        keep = jnp.where(my == p, out, keep)
+        state = jax.tree.map(lambda t: _shift_from_left(t, axis_name, n), fin)
+        return keep, state
+
+    keep, _ = jax.lax.fori_loop(0, n, phase, (jnp.zeros_like(lat), zero))
+    return keep
+
+
+def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
+                      axis: str = "data", mode: str = "conformant",
+                      lstm: str = "exact", context_seconds: float | None = None,
+                      chunk_quantum_seconds: float = 1.0):
+    """Build a reusable sequence-parallel tokenizer: (params, wav (T,)) -> (Nq, T//hop).
+
+    mode: matmul-precision tier, same meaning as codec.tokenize
+    ('conformant' | 'high' | 'fast'). lstm: 'exact' | 'reset' (see module
+    docstring). Per-device chunk sizes are bucketed to multiples of
+    ``chunk_quantum_seconds`` and the jitted SPMD program is cached per
+    bucket, so a whole corpus of varying lengths shares a handful of
+    compiles (the real length enters the program as a traced scalar). The
+    wav tail is zero-padded up to the bucket; trailing zeros cannot
+    influence the kept frames (the edge mask reproduces the full-sequence
+    pad; the LSTM runs left-to-right).
+    """
+    e = cfg.model.codec_encoder
+    if mesh is None:
+        from .mesh import make_data_mesh
+        mesh = make_data_mesh()
+    n = mesh.shape[axis]
+    if lstm == "exact" and e.type != "bigcodec":
+        raise NotImplementedError("lstm='exact' requires the bigcodec encoder")
+
+    hop = int(np.prod(e.up_ratios)) if e.type == "bigcodec" else e.hop_length
+    if context_seconds is None:
+        ctx = -(-receptive_field_samples(cfg) // hop) * hop
+    else:
+        ctx = int(context_seconds * cfg.dataset.sample_rate) // hop * hop
+    quantum = max(int(chunk_quantum_seconds * cfg.dataset.sample_rate) // hop * hop,
+                  hop)
+    compiled: dict[int, Any] = {}
+
+    def build(chunk: int):
+        cf, ckf = ctx // hop, chunk // hop
+
+        def local(params, w, tm):
+            my = jax.lax.axis_index(axis)
+            left = _shift_from_left(w[-ctx:], axis, n)
+            right = _shift_from_right(w[:ctx], axis, n)
+            window = jnp.concatenate([left, w, right])
+            if lstm == "reset":
+                codes = C.tokenize(params, cfg, window[None], mode=mode)
+                return codes[:, :, cf:cf + ckf]
+            start = my * chunk - ctx
+
+            def run(enc, x):
+                lat = _conv_front(enc, e, x, start, tm)
+                if e.use_rnn:
+                    lat = _lstm_relay(enc, e, lat[:, :, cf:cf + ckf], my, axis, n)
+                else:
+                    lat = lat[:, :, cf:cf + ckf]
+                # trailing-pad frames would bleed into the last real frame
+                # through the tail conv's right halo; full-seq pads them zero
+                lat = _edge_mask(lat, my * ckf, 1, tm // hop)
+                return _tail(enc, e, lat, axis, n)
+
+            enc = params["encoder"]
+            if mode == "fast":
+                enc16 = C._cast_tree(enc, jnp.bfloat16)
+                lat = run(enc16, window[None, None, :].astype(jnp.bfloat16))
+                lat = lat.astype(jnp.float32)
+            else:
+                prec = {"conformant": "float32", "high": "tensorfloat32"}[mode]
+                with jax.default_matmul_precision(prec):
+                    lat = run(enc, window[None, None, :])
+            with jax.default_matmul_precision("float32"):
+                _, codes, _ = C.quantize(params, cfg, lat, training=False)
+            return codes
+
+        return jax.jit(shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P(axis), P()),
+                                 out_specs=P(None, None, axis),
+                                 check_vma=False))
+
+    from jax.sharding import NamedSharding
+    repl = NamedSharding(mesh, P())
+    _params_cache: dict = {}
+
+    def tokenize(params, wav):
+        # checkpoint-loaded params may be committed to one device; replicate
+        # them over the mesh once (cached by identity across corpus calls)
+        if _params_cache.get("id") != id(params):
+            _params_cache["id"] = id(params)
+            _params_cache["p"] = jax.device_put(params, repl)
+        params = _params_cache["p"]
+        T = int(wav.shape[-1])
+        # halo exchange is neighbor-only: each chunk must cover the context
+        chunk = max(-(-T // (n * quantum)) * quantum, -(-ctx // quantum) * quantum)
+        fn = compiled.get(chunk)
+        if fn is None:
+            fn = compiled[chunk] = build(chunk)
+        padded = jnp.zeros((n * chunk,), jnp.float32).at[:T].set(
+            jnp.asarray(wav, jnp.float32))
+        tm = jnp.int32(-(-T // hop) * hop)
+        codes = fn(params, padded, tm)
+        return codes[:, 0, :T // hop]
+
+    tokenize.cache = compiled  # introspectable: one jitted program per bucket
+    return tokenize
+
+
+def tokenize_sequence_parallel(params, cfg: Config, wav, mesh: Mesh | None = None,
+                               *, axis: str = "data", mode: str = "conformant",
+                               lstm: str = "exact",
+                               context_seconds: float | None = None):
+    """One-shot convenience wrapper; for corpora use make_sp_tokenizer."""
+    tok = make_sp_tokenizer(cfg, mesh, axis=axis, mode=mode, lstm=lstm,
+                            context_seconds=context_seconds,
+                            chunk_quantum_seconds=1.0 / cfg.dataset.sample_rate)
+    return tok(params, wav)

@@ -129,7 +129,16 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     profile_steps=(start, stop): capture a jax.profiler device trace between
     those steps into <run_dir>/profile (SURVEY.md §5.1 tracing hook).
     """
-    mesh = make_data_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    # DP needs the global batch divisible across devices; fall back to
+    # single-device execution (with a note) instead of a sharding error
+    n_dev = len(jax.devices())
+    mesh = None
+    if use_mesh and n_dev > 1:
+        if cfg.dataset.train.batch_size % n_dev == 0:
+            mesh = make_data_mesh()
+        else:
+            print(f"[train] batch_size {cfg.dataset.train.batch_size} not "
+                  f"divisible by {n_dev} devices; running unsharded")
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
     ckpt = CheckpointManager(run_dir, cfg)
     if ckpt.latest_step() is not None:

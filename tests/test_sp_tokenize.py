@@ -1,0 +1,88 @@
+"""Sequence-parallel tokenization: sharded long-audio tokens vs single device.
+
+Runs on the conftest 8-device virtual CPU mesh (SURVEY.md §4's distributed
+test mechanism). The 'exact' LSTM relay must reproduce the full-sequence
+tokens bit for bit; the 'reset' warm-up approximation must agree on the
+overwhelming majority of frames (same contract as utils.chunked).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiotokenization_tpu.models import codec as C
+from audiotokenization_tpu.parallel.mesh import make_data_mesh
+from audiotokenization_tpu.parallel.sp import tokenize_sequence_parallel
+
+from test_train_step import tiny_config
+
+
+def _full_tokens(params, cfg, wav):
+    return np.asarray(C.tokenize(params, cfg, jnp.asarray(wav)[None]))[:, 0]
+
+
+def test_sp_exact_matches_full_sequence():
+    cfg = tiny_config()  # hop = 10
+    params = C.init_codec(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    T = 8 * 400  # 40 frames per device on the 8-device mesh
+    wav = (rng.randn(T) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    sp = np.asarray(tokenize_sequence_parallel(params, cfg, wav,
+                                               make_data_mesh()))
+    assert sp.shape == full.shape
+    np.testing.assert_array_equal(sp, full)
+
+
+def test_sp_exact_uneven_length_trims_tail():
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(1), cfg)
+    rng = np.random.RandomState(1)
+    T = 8 * 400 + 7 * 10  # not a multiple of devices*hop; is a hop multiple
+    wav = (rng.randn(T) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    sp = np.asarray(tokenize_sequence_parallel(params, cfg, wav,
+                                               make_data_mesh()))
+    assert sp.shape == full.shape == (1, T // 10)
+    np.testing.assert_array_equal(sp, full)
+
+
+def test_sp_exact_causal_config():
+    cfg = tiny_config()
+    cfg.model.codec_encoder.causal = True
+    params = C.init_codec(jax.random.key(2), cfg)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(8 * 400) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    sp = np.asarray(tokenize_sequence_parallel(params, cfg, wav,
+                                               make_data_mesh()))
+    np.testing.assert_array_equal(sp, full)
+
+
+def test_sp_factory_buckets_and_reuses_compiles():
+    """make_sp_tokenizer: one compile per chunk bucket serves many lengths."""
+    from audiotokenization_tpu.parallel.sp import make_sp_tokenizer
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(4), cfg)
+    tok = make_sp_tokenizer(cfg, make_data_mesh(),
+                            chunk_quantum_seconds=400 / 16000)  # bucket = 400
+    rng = np.random.RandomState(4)
+    for T in (8 * 400, 8 * 400 - 30 * 10, 8 * 400 + 10):  # same bucket x2, +1
+        wav = (rng.randn(T) * 0.1).astype(np.float32)
+        full = _full_tokens(params, cfg, wav[: T // 10 * 10])
+        got = np.asarray(tok(params, wav[: T // 10 * 10]))
+        np.testing.assert_array_equal(got, full)
+    # the first two lengths fall in one bucket, the third in the next
+    assert len(tok.cache) == 2, sorted(tok.cache)
+
+
+def test_sp_reset_mode_high_agreement():
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(8 * 400) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    sp = np.asarray(tokenize_sequence_parallel(params, cfg, wav,
+                                               make_data_mesh(), lstm="reset"))
+    assert sp.shape == full.shape
+    assert (sp == full).mean() > 0.9
