@@ -64,6 +64,7 @@ class DecoderConfig:
     vq_commit_weight: float = 0.25
     vq_weight_init: bool = False
     vq_full_commit_loss: bool = False
+    vq_cosine_sim: bool = False  # ema_vq: CosineSimCodebook variant
     codebook_size: int = 8192
     codebook_dim: int = 8
     # conformer_istft fields

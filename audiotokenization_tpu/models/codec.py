@@ -77,7 +77,8 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
         salt = jnp.sum((latents[:, 0, 0] * 1e3).astype(jnp.int32) % 7919)
         rng = jax.random.fold_in(jax.random.key(0), salt)
         res = ema_vq_apply(params["quantizer"], latents, training=training,
-                           commitment=d.vq_commit_weight, rng=rng)
+                           commitment=d.vq_commit_weight, rng=rng,
+                           use_cosine_sim=d.vq_cosine_sim)
         out = res.quantized, res.indices[None], jnp.mean(res.loss)[None]
         qstate = res.state
     elif q == "lfq":
@@ -284,7 +285,8 @@ def init_codec(key, cfg: Config) -> Dict[str, Any]:
     elif d.quantizer == "ema_vq":
         from .quantizers.ema_vq import init_ema_vq
 
-        q = init_ema_vq(k_q, codebook_size=d.codebook_size, dim=d.in_channels)
+        q = init_ema_vq(k_q, codebook_size=d.codebook_size, dim=d.in_channels,
+                        use_cosine_sim=d.vq_cosine_sim)
     elif d.quantizer == "lfq":
         q = {}  # lookup-free: no parameters (codebook_dim = latent dim = bits)
     else:

@@ -31,9 +31,17 @@ class EmaVQResult(NamedTuple):
     state: Dict[str, Any]
 
 
+def _l2norm(t, axis=-1):
+    return t / jnp.linalg.norm(t, axis=axis, keepdims=True).clip(1e-12)
+
+
 def init_ema_vq(key, *, codebook_size: int, dim: int, kmeans_init: bool = False,
-                affine_param: bool = False):
+                affine_param: bool = False, use_cosine_sim: bool = False):
     embed = jax.random.normal(key, (codebook_size, dim))
+    if use_cosine_sim:
+        # CosineSimCodebook (vector_quantize_pytorch.py:596-686) keeps the
+        # codebook on the unit sphere from init onward
+        embed = _l2norm(embed)
     if kmeans_init:
         embed = jnp.zeros((codebook_size, dim))
     state = {
@@ -74,23 +82,31 @@ def _rotate_to(src, tgt):
     return rotated * jax.lax.stop_gradient(nt / ns)
 
 
-def _kmeans(key, data, n_clusters: int, iters: int = 10):
+def _kmeans(key, data, n_clusters: int, iters: int = 10,
+            use_cosine_sim: bool = False):
     """Simple kmeans over (M, D) data. Always returns (n_clusters, D): when
     the batch has fewer vectors than clusters, seeds repeat (with-replacement
     sampling keeps the shape static — required because lax.cond traces this
-    branch even when kmeans init is disabled)."""
+    branch even when kmeans init is disabled). use_cosine_sim mirrors the
+    reference kmeans flag (vector_quantize_pytorch.py:196-236): assignment by
+    cosine similarity and means re-normalized each iteration."""
     M = data.shape[0]
     idx = jax.random.randint(key, (n_clusters,), 0, M)
     means = data[idx]
 
     def step(means, _):
-        d = (jnp.sum(data * data, 1, keepdims=True) - 2 * data @ means.T
-             + jnp.sum(means * means, 1)[None])
-        assign = jnp.argmin(d, axis=1)
+        if use_cosine_sim:
+            assign = jnp.argmax(data @ means.T, axis=1)
+        else:
+            d = (jnp.sum(data * data, 1, keepdims=True) - 2 * data @ means.T
+                 + jnp.sum(means * means, 1)[None])
+            assign = jnp.argmin(d, axis=1)
         onehot = jax.nn.one_hot(assign, n_clusters, dtype=data.dtype)
         counts = onehot.sum(0)
         sums = onehot.T @ data
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), means)
+        if use_cosine_sim:
+            new = jnp.where(counts[:, None] > 0, _l2norm(new), new)
         return new, None
 
     means, _ = jax.lax.scan(step, means, None, length=iters)
@@ -109,7 +125,8 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
                  diversity_temperature: float = 100.0,
                  affine_param: bool = False,
                  affine_batch_decay: float = 0.9,
-                 affine_codebook_decay: float = 0.99) -> EmaVQResult:
+                 affine_codebook_decay: float = 0.99,
+                 use_cosine_sim: bool = False) -> EmaVQResult:
     """x: (B, D, T). Returns quantized (B, D, T), indices (B, T), loss (B,), state.
 
     Optional capabilities mirroring the vendored VectorQuantize:
@@ -122,10 +139,18 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
       reaches the encoder through the distances;
     - affine codebook adaptation (:414-463): codebook re-standardized to the
       running batch moments before distance/lookup, with `psum`-reduced batch
-      stats when `axis_name` is set (the sync_affine_param path).
+      stats when `axis_name` is set (the sync_affine_param path);
+    - use_cosine_sim: the CosineSimCodebook variant (:596-686) — inputs
+      l2-normalized (transform_input), code selection by cosine similarity,
+      EMA means re-normalized onto the unit sphere, cosine kmeans init.
     """
+    if use_cosine_sim and affine_param:
+        raise ValueError("affine_param is a Euclidean-codebook feature "
+                         "(the reference wires it only there)")
     B, D, T = x.shape
     flat = jnp.swapaxes(x, 1, 2).reshape(-1, D).astype(jnp.float32)
+    if use_cosine_sim:
+        flat = _l2norm(flat)
 
     def maybe_psum(v):
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
@@ -135,7 +160,8 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
     if training:
         def do_init(s):
             key = rng if rng is not None else jax.random.key(0)
-            means = _kmeans(key, flat, s["embed"].shape[0])
+            means = _kmeans(key, flat, s["embed"].shape[0],
+                            use_cosine_sim=use_cosine_sim)
             return {**s, "embed": means, "embed_avg": means,
                     "cluster_size": jnp.zeros_like(s["cluster_size"]),
                     "initted": jnp.asarray(1.0)}
@@ -166,8 +192,11 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
         b_std = jnp.sqrt(jnp.clip(state["batch_var"], 1e-5))
         embed = ((embed - state["codebook_mean"]) * (b_std / cb_std)
                  + state["batch_mean"])
-    dist = (jnp.sum(flat * flat, 1, keepdims=True) - 2 * flat @ embed.T
-            + jnp.sum(embed * embed, 1)[None])
+    if use_cosine_sim:
+        dist = -(flat @ embed.T)  # negative cosine similarity
+    else:
+        dist = (jnp.sum(flat * flat, 1, keepdims=True) - 2 * flat @ embed.T
+                + jnp.sum(embed * embed, 1)[None])
     if training and stochastic_sampling and sample_codebook_temp > 0 and rng is not None:
         g = -jnp.log(-jnp.log(
             jax.random.uniform(jax.random.fold_in(rng, 7), dist.shape,
@@ -194,6 +223,8 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
         n = jnp.sum(cluster_size)
         smoothed = (cluster_size + eps) / (n + embed.shape[0] * eps) * n
         new_embed = embed_avg / jnp.maximum(smoothed[:, None], 1e-12)
+        if use_cosine_sim:
+            new_embed = _l2norm(new_embed)  # update_ema (:706-712)
         # dead-code expiry: resample batch vectors for starved codes
         if threshold_ema_dead_code > 0 and rng is not None:
             dead = cluster_size < threshold_ema_dead_code

@@ -46,6 +46,25 @@ def test_codec_ema_vq_end_to_end():
     assert float(np.asarray(s.gen_params["quantizer"]["cluster_size"]).sum()) > 0
 
 
+def test_codec_ema_vq_cosine_end_to_end():
+    """vq_cosine_sim: codebook stays on the unit sphere through training."""
+    cfg = tiny_config()
+    d = cfg.model.codec_decoder
+    d.quantizer = "ema_vq"
+    d.codebook_size = 64
+    d.vq_cosine_sim = True
+    state = init_train_state(jax.random.key(5), cfg)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(state.gen_params["quantizer"]["embed"]), axis=-1),
+        1.0, rtol=1e-5)
+    step = jit_train_step(cfg)
+    s, metrics = step(state, _batch(5))
+    assert np.isfinite(float(metrics["gen_loss"]))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(s.gen_params["quantizer"]["embed"]), axis=-1),
+        1.0, rtol=1e-4, atol=1e-4)
+
+
 def test_codec_lfq_end_to_end():
     cfg = tiny_config()
     d = cfg.model.codec_decoder

@@ -253,6 +253,62 @@ def test_qinco_training_grads_and_loss():
     assert float(jnp.abs(grads["mlps"][0]["w_cond"]).sum()) > 0
 
 
+def test_ema_vq_cosine_eval_parity_vs_reference():
+    """CosineSimCodebook (vector_quantize_pytorch.py:596-686): identical
+    codebook => identical codes/quantized as VectorQuantize(use_cosine_sim)."""
+    vq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.vector_quantize_pytorch")
+    torch.manual_seed(0)
+    D, N = 8, 32
+    ref = vq_mod.VectorQuantize(dim=D, codebook_size=N, use_cosine_sim=True).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, D).astype(np.float32)
+    with torch.no_grad():
+        q_ref, idx_ref, _ = ref(torch.from_numpy(x))
+    embed = ref._codebook.embed.detach().numpy()[0]
+    state = init_ema_vq(jax.random.key(0), codebook_size=N, dim=D,
+                        use_cosine_sim=True)
+    state["embed"] = jnp.asarray(embed)
+    res = ema_vq_apply(state, jnp.asarray(np.swapaxes(x, 1, 2)),
+                       use_cosine_sim=True)
+    np.testing.assert_array_equal(np.asarray(res.indices), idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(res.quantized).swapaxes(1, 2),
+                               q_ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_ema_vq_cosine_training_ema_parity_vs_reference():
+    """One training step: our psum-free EMA update must reproduce the
+    reference CosineSimCodebook EMA (decay, laplace smoothing, re-l2norm)."""
+    vq_mod = load_reference_module(
+        "vq.vector_quantize_pytorch_lucidrains.vector_quantize_pytorch")
+    torch.manual_seed(1)
+    D, N = 6, 16
+    ref = vq_mod.VectorQuantize(dim=D, codebook_size=N, use_cosine_sim=True,
+                                threshold_ema_dead_code=0).train()
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 20, D).astype(np.float32)
+    embed0 = ref._codebook.embed.detach().numpy()[0].copy()
+    with torch.no_grad():
+        _, idx_ref, _ = ref(torch.from_numpy(x))
+    embed1 = ref._codebook.embed.detach().numpy()[0]
+
+    state = init_ema_vq(jax.random.key(0), codebook_size=N, dim=D,
+                        use_cosine_sim=True)
+    state["embed"] = jnp.asarray(embed0)
+    state["embed_avg"] = jnp.asarray(embed0)
+    state["cluster_size"] = jnp.ones((N,))  # CosineSimCodebook inits ones
+    res = ema_vq_apply(state, jnp.asarray(np.swapaxes(x, 1, 2)),
+                       training=True, use_cosine_sim=True,
+                       threshold_ema_dead_code=0.0)
+    np.testing.assert_array_equal(np.asarray(res.indices), idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(res.state["embed"]), embed1,
+                               rtol=1e-5, atol=1e-6)
+    # codebook stays on the unit sphere
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(res.state["embed"]), axis=-1), 1.0,
+        rtol=1e-5, atol=1e-5)
+
+
 def test_ema_vq_rotation_trick():
     """Rotation trick: forward value equals the quantized vector, but the
     gradient through x differs from the identity STE."""
