@@ -24,6 +24,10 @@ def main(argv=None):
                    help="Orbax/npz ECAPA-TDNN weights")
     p.add_argument("--smoke", action="store_true",
                    help="allow random-init weights (scores not meaningful)")
+    p.add_argument("--feat_type", choices=("fbank", "mfcc"), default="fbank",
+                   help="acoustic frontend (models/ecapa_tdnn.py; the "
+                        "s3prl-style SSL frontend is available via the "
+                        "extract_features API with an SSL teacher)")
     args = p.parse_args(argv)
 
     import jax
@@ -37,12 +41,13 @@ def main(argv=None):
     from ..models.ecapa_tdnn import init_ecapa_tdnn, speaker_similarity
     from ..ops.resample import resample
 
+    n_mels = {"fbank": 80, "mfcc": 40}[args.feat_type]
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
         params = ocp.StandardCheckpointer().restore(Path(args.checkpoint).resolve())
     elif args.smoke:
-        params = init_ecapa_tdnn(jax.random.key(0))
+        params = init_ecapa_tdnn(jax.random.key(0), n_mels=n_mels)
     else:
         raise SystemExit("no --checkpoint given; pass --smoke to run with "
                          "random weights (absolute scores are meaningless)")
@@ -54,7 +59,8 @@ def main(argv=None):
             wav = np.asarray(resample(jnp.asarray(wav), sr, 16000))
         return jnp.asarray(wav)[None]
 
-    sim = float(speaker_similarity(params, load(args.wav1), load(args.wav2))[0])
+    sim = float(speaker_similarity(params, load(args.wav1), load(args.wav2),
+                                   feat_type=args.feat_type)[0])
     print(json.dumps({"similarity": sim,
                       "trained_weights": args.checkpoint is not None}))
 

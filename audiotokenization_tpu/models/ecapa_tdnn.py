@@ -40,6 +40,45 @@ def log_mel_fbank(wav, *, sample_rate: int = 16000, n_mels: int = 80,
     return feats - jnp.mean(feats, axis=-1, keepdims=True)  # CMN
 
 
+def mfcc(wav, *, sample_rate: int = 16000, n_mfcc: int = 40, n_mels: int = 80,
+         n_fft: int = 512, hop: int = 160, win: int = 400):
+    """MFCC features: orthonormal DCT-II over the log-mel filterbank.
+
+    The reference's feat_type='mfcc' path (speaker_verification/
+    models/ecapa_tdnn.py:186-196, torchaudio MFCC) — cepstral-mean
+    normalized like the fbank path. wav: (B, T) -> (B, n_mfcc, F).
+    """
+    s = stft(wav, n_fft=n_fft, hop_length=hop, win_length=win, center=True,
+             pad_mode="reflect")
+    power = s.real ** 2 + s.imag ** 2
+    fb = mel_filterbank(sample_rate=sample_rate, n_fft=n_fft, n_mels=n_mels,
+                        fmin=20.0)
+    logmel = jnp.log(jnp.maximum(jnp.einsum("mf,bft->bmt", fb, power), 1e-6))
+    n = jnp.arange(n_mels)
+    k = jnp.arange(n_mfcc)[:, None]
+    dct = jnp.cos(jnp.pi * (n[None] + 0.5) * k / n_mels) * jnp.sqrt(2.0 / n_mels)
+    dct = dct.at[0].mul(1.0 / jnp.sqrt(2.0))
+    feats = jnp.einsum("km,bmt->bkt", dct, logmel)
+    return feats - jnp.mean(feats, axis=-1, keepdims=True)  # CMN
+
+
+def ssl_weighted_features(hidden_states, feature_weight):
+    """s3prl-style SSL frontend: softmax layer-weighted sum of hidden states
+    (speaker_verification/models/ecapa_tdnn.py:260-269).
+
+    hidden_states: list/stack of (B, T, D); feature_weight: (L,) learnable.
+    Returns (B, D, T) cepstral-mean-normalized features for the ECAPA stem
+    (init the model with n_mels=D). Any SSL teacher works — the in-repo
+    native w2v-bert (models/w2v_bert.py, output_layer=None) is the natural
+    choice in this framework.
+    """
+    hs = jnp.stack(list(hidden_states), axis=0)  # (L, B, T, D)
+    w = jax.nn.softmax(feature_weight)[:, None, None, None]
+    x = jnp.sum(w * hs, axis=0)
+    x = jnp.swapaxes(x, 1, 2) + 1e-6  # (B, D, T)
+    return x - jnp.mean(x, axis=-1, keepdims=True)  # CMN
+
+
 def _bn(p, x):
     """BatchNorm1d in inference form: scale/shift with running stats. x: (B,C,T)."""
     inv = jax.lax.rsqrt(p["var"] + 1e-5)
@@ -108,12 +147,29 @@ def ecapa_tdnn_embed(params, feats):
     return linear(pooled, params["fc"])
 
 
-def speaker_similarity(params, wav_a, wav_b, *, sample_rate: int = 16000):
+def extract_features(wav, *, feat_type: str = "fbank", sample_rate: int = 16000,
+                     ssl_fn=None, feature_weight=None):
+    """Frontend dispatch mirroring get_feat (ecapa_tdnn.py:247-271):
+    'fbank' | 'mfcc' | 'ssl' (ssl_fn: wav (B,T) -> list of (B,T,D) hiddens)."""
+    if feat_type == "fbank":
+        return log_mel_fbank(wav, sample_rate=sample_rate)
+    if feat_type == "mfcc":
+        return mfcc(wav, sample_rate=sample_rate)
+    if feat_type == "ssl":
+        if ssl_fn is None or feature_weight is None:
+            raise ValueError("feat_type='ssl' needs ssl_fn and feature_weight")
+        return ssl_weighted_features(ssl_fn(wav), feature_weight)
+    raise ValueError(f"unknown feat_type {feat_type!r}")
+
+
+def speaker_similarity(params, wav_a, wav_b, *, sample_rate: int = 16000,
+                       feat_type: str = "fbank", ssl_fn=None,
+                       feature_weight=None):
     """Cosine similarity of speaker embeddings (verification.py behavior)."""
-    fa = log_mel_fbank(wav_a, sample_rate=sample_rate)
-    fb = log_mel_fbank(wav_b, sample_rate=sample_rate)
-    ea = ecapa_tdnn_embed(params, fa)
-    eb = ecapa_tdnn_embed(params, fb)
+    kw = dict(feat_type=feat_type, sample_rate=sample_rate, ssl_fn=ssl_fn,
+              feature_weight=feature_weight)
+    ea = ecapa_tdnn_embed(params, extract_features(wav_a, **kw))
+    eb = ecapa_tdnn_embed(params, extract_features(wav_b, **kw))
     ea = ea / jnp.linalg.norm(ea, axis=-1, keepdims=True)
     eb = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
     return jnp.sum(ea * eb, axis=-1)

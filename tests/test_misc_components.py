@@ -12,6 +12,51 @@ from audiotokenization_tpu.train.schedule import warmup_lr_schedule
 from audiotokenization_tpu.utils.tome import adjacent_chained_merge, unmerge
 
 
+def test_mfcc_is_orthonormal_dct_of_logmel():
+    """MFCC == DCT-II(ortho) of the log-mel fbank, cepstral-mean normalized."""
+    from audiotokenization_tpu.models.ecapa_tdnn import log_mel_fbank, mfcc
+    import scipy.fft as sf
+
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray((rng.randn(2, 4000) * 0.1).astype(np.float32))
+    # reconstruct log-mel without CMN: fbank() returns CMN'ed; undo is not
+    # possible, so recompute the un-normalized log-mel via mfcc's own path:
+    # verify against scipy DCT applied to (fbank + its removed mean is
+    # irrelevant: DCT is linear and CMN at the end removes the means again)
+    fb = np.asarray(log_mel_fbank(wav))
+    ref = sf.dct(fb, type=2, norm="ortho", axis=1)[:, :40]
+    ref = ref - ref.mean(-1, keepdims=True)
+    got = np.asarray(mfcc(wav, n_mfcc=40))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ssl_weighted_features_and_embed():
+    """SSL frontend: softmax layer weighting + CMN, pluggable into ECAPA."""
+    from audiotokenization_tpu.models.ecapa_tdnn import (extract_features,
+                                                         ssl_weighted_features)
+
+    rng = np.random.RandomState(1)
+    hs = [jnp.asarray(rng.randn(2, 12, 16).astype(np.float32)) for _ in range(3)]
+    # equal logits == plain mean over layers (then CMN)
+    eq = np.asarray(ssl_weighted_features(hs, jnp.zeros((3,))))
+    man = np.mean([np.asarray(h) for h in hs], axis=0).swapaxes(1, 2) + 1e-6
+    man = man - man.mean(-1, keepdims=True)
+    np.testing.assert_allclose(eq, man, rtol=1e-5, atol=1e-6)
+    # extreme logit selects one layer
+    one = np.asarray(ssl_weighted_features(hs, jnp.asarray([50.0, 0.0, 0.0])))
+    h0 = np.asarray(hs[0]).swapaxes(1, 2) + 1e-6
+    np.testing.assert_allclose(one, h0 - h0.mean(-1, keepdims=True),
+                               rtol=1e-4, atol=1e-4)
+    # end-to-end through the ECAPA stem (n_mels == SSL dim)
+    params = init_ecapa_tdnn(jax.random.key(0), n_mels=16, channels=32,
+                             emb_dim=8)
+    feats = extract_features(jnp.zeros((2, 1600)), feat_type="ssl",
+                             ssl_fn=lambda w: hs,
+                             feature_weight=jnp.zeros((3,)))
+    emb = ecapa_tdnn_embed(params, feats)
+    assert emb.shape == (2, 8) and np.all(np.isfinite(np.asarray(emb)))
+
+
 def test_ecapa_embedding_shapes():
     params = init_ecapa_tdnn(jax.random.key(0), channels=64, emb_dim=32)
     wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000).astype(np.float32))
