@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="synthesized")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="shard each sample's decode across every attached "
+                        "device (parallel/sp.py halo+LSTM-relay synthesizer)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,8 +68,15 @@ def main(argv=None):
                                    temperature=args.temperature)
         tokens = jnp.clip(tokens, 0, vocab - 1)  # drop any BOS/EOS samples
 
-    emb = C.codes_to_emb(codec_params, cfg, tokens[..., None])  # (B, C, Tf)
-    wav = np.asarray(C.decode(codec_params, cfg, emb))[:, 0]
+    if args.sequence_parallel:
+        from ..parallel.sp import make_sp_synthesizer
+
+        syn = make_sp_synthesizer(cfg)
+        wav = np.stack([np.asarray(syn(codec_params, tokens[i][None]))
+                        for i in range(args.num_samples)])  # (B, T)
+    else:
+        emb = C.codes_to_emb(codec_params, cfg, tokens[..., None])  # (B, C, Tf)
+        wav = np.asarray(C.decode(codec_params, cfg, emb))[:, 0]
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     for i in range(args.num_samples):

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import Config
 from ..models import bigcodec
 from ..models import codec as C
-from ..ops.conv import get_weight, conv1d
+from ..ops.conv import conv1d, conv_transpose1d, get_weight
 from ..ops.lstm import res_lstm_streaming
 from ..utils.chunked import receptive_field_samples
 
@@ -257,6 +257,163 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
 
     tokenize.cache = compiled  # introspectable: one jitted program per bucket
     return tokenize
+
+
+def _halo_extend(x, h_left, h_right, axis_name, n):
+    """Extend the time axis of an exact per-device chunk with neighbor halos
+    (ppermute zeros at the mesh edges == the absent frames of the full seq)."""
+    parts = []
+    if h_left:
+        parts.append(_shift_from_left(x[..., -h_left:], axis_name, n))
+    parts.append(x)
+    if h_right:
+        parts.append(_shift_from_right(x[..., :h_right], axis_name, n))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _decoder_block_sp(p, x, *, stride, dilations, aa, my, axis_name, n,
+                      L, S_out, tm):
+    """One BigCodec DecoderBlock (snake -> tconv -> 3 residual units,
+    vq/module.py:115-141) on an exact per-device chunk, kept exact via halo
+    exchange + margin tracking + true-edge masking.
+
+    x: (1, C, L) exact chunk at the block's input scale. The transpose conv
+    is run in VALID form on a halo-extended window and sliced so that
+    out_local[q] == out_full[my*L*stride - M + q]; the residual units then
+    consume the margin M (3*d per unit, the same-pad one-sided reach), with
+    `_edge_mask` after every spatial op reproducing the full sequence's
+    per-layer zero padding at the true sequence edges. Returns the exact
+    (1, C_out, L*stride) chunk. S_out: output samples per decoder FRAME
+    (static), tm: real frame count (traced) — bound at this scale is tm*S_out.
+    """
+    pad_ref = stride // 2 + stride % 2 if stride != 1 else 0
+    outpad = stride % 2 if stride != 1 else 0
+    M = sum(3 * d for d in dilations)
+    h = -(-(M + pad_ref) // max(stride, 1)) + 1
+    if L < h:
+        raise ValueError(f"per-device chunk {L} frames < halo {h}; use a "
+                         f"longer input or fewer devices")
+
+    x = aa(x, p["snake"])
+    x_ext = _halo_extend(x, h, h, axis_name, n)
+    w = get_weight(p["up"])
+    if stride != 1:
+        y = conv_transpose1d(x_ext, w, p["up"].get("b"), stride=stride,
+                             padding=0, output_padding=0)
+    else:
+        y = conv_transpose1d(x_ext, w, p["up"].get("b"))
+    # local->global: y[q] == full[(my*L - h)*stride - pad_ref + q]
+    q0 = h * stride + pad_ref - M
+    assert q0 >= 0 and q0 + L * stride + 2 * M <= y.shape[-1], (q0, y.shape)
+    y = y[..., q0:q0 + L * stride + 2 * M]
+    start = my * (L * stride) - M  # global sample index of y[..., 0]
+    y = _edge_mask(y, start, 1, tm * S_out)
+    for j, d in enumerate(dilations):
+        y = bigcodec.residual_unit(y, p["units"][j], dilation=d, causal=False,
+                                   aa=aa)
+        y = _edge_mask(y, start, 1, tm * S_out)
+        # outer 3d samples of the margin consumed their own window padding
+    return y[..., M:M + L * stride]
+
+
+def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
+                        axis: str = "data",
+                        chunk_quantum_frames: int = 80):
+    """Build a sequence-parallel decoder: (params, codes (Nq, Tf)) -> wav (Tf*hop,).
+
+    The synthesis mirror of make_sp_tokenizer: ONE token stream is sharded
+    across the mesh by frames, each chip decodes its slice (conv_in + LSTM
+    relay + upsampling blocks + tail) with neighbor halo exchange, and the
+    waveform equals single-device codec.decode to fp32 rounding — conv
+    summation order varies across shapes; token round trips are discrete
+    and therefore exact (tests/test_sp_tokenize.py::test_sp_synthesize_*).
+    BigCodec decoder only.
+    Compiles are cached per chunk bucket (chunk_quantum_frames granularity);
+    the real frame count is a traced scalar.
+    """
+    d = cfg.model.codec_decoder
+    if d.type != "bigcodec":
+        raise NotImplementedError("sequence-parallel synthesis requires the "
+                                  "bigcodec decoder")
+    if d.causal or d.rnn_bidirectional:
+        raise NotImplementedError("sp synthesis covers the non-causal, "
+                                  "unidirectional-RNN decoder configs")
+    if mesh is None:
+        from .mesh import make_data_mesh
+        mesh = make_data_mesh()
+    n = mesh.shape[axis]
+    up_ratios = tuple(d.up_ratios)
+    dilations = tuple(d.dilations)
+    hop = int(np.prod(up_ratios))
+    # strictest per-device chunk bound comes from the first block's halo
+    M = sum(3 * dd for dd in dilations)
+    h_first = -(-(M + up_ratios[0] // 2 + up_ratios[0] % 2) // up_ratios[0]) + 1
+    min_chunk = max(h_first, 3)
+    compiled: dict[int, Any] = {}
+
+    class _E:  # adapter for _lstm_relay's encoder-config interface
+        rnn_bidirectional = False
+        rnn_num_layers = d.rnn_num_layers
+
+    def build(L: int):
+        def local(params, codes, tf):
+            # codes: (Nq, L) exact token chunk; tf: real frame count (traced)
+            my = jax.lax.axis_index(axis)
+            dec = params["decoder"]
+            aa = bigcodec._AA(d.antialias)
+            z = C.codes_to_emb(params, cfg, jnp.swapaxes(codes, 0, 1)[None])
+            z = _edge_mask(z, my * L, 1, tf)  # trailing pad: code-0 emb != 0
+            x = _halo_extend(z, 3, 3, axis, n)
+            x = conv1d(x, get_weight(dec["conv_in"]), dec["conv_in"].get("b"),
+                       padding=0)
+            x = _edge_mask(x, my * L, 1, tf)
+            if d.use_rnn:
+                x = _lstm_relay({"lstm": dec["lstm"]}, _E, x, my, axis, n)
+                x = _edge_mask(x, my * L, 1, tf)
+            Lc, S_out = L, 1
+            for i, stride in enumerate(up_ratios):
+                S_out_next = S_out * stride
+                x = _decoder_block_sp(dec["blocks"][i], x, stride=stride,
+                                      dilations=dilations, aa=aa, my=my,
+                                      axis_name=axis, n=n, L=Lc,
+                                      S_out=S_out_next, tm=tf)
+                Lc, S_out = Lc * stride, S_out_next
+            x = aa(x, dec["snake_out"])
+            x = _halo_extend(x, 3, 3, axis, n)
+            x = conv1d(x, get_weight(dec["conv_out"]), dec["conv_out"].get("b"),
+                       padding=0)
+            return jnp.tanh(x)
+
+        return jax.jit(shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P(None, axis), P()),
+                                 out_specs=P(None, None, axis),
+                                 check_vma=False))
+
+    from jax.sharding import NamedSharding
+    repl = NamedSharding(mesh, P())
+    _params_cache: dict = {}
+
+    def synthesize(params, codes):
+        if _params_cache.get("id") != id(params):
+            _params_cache["id"] = id(params)
+            _params_cache["p"] = jax.device_put(params, repl)
+        params = _params_cache["p"]
+        codes = jnp.asarray(codes)
+        if codes.ndim == 1:
+            codes = codes[None]
+        tf = int(codes.shape[-1])
+        q = max(chunk_quantum_frames, 1)
+        L = max(-(-tf // (n * q)) * q, -(-min_chunk // q) * q)
+        padded = jnp.zeros((codes.shape[0], n * L), codes.dtype
+                           ).at[:, :tf].set(codes)
+        fn = compiled.get(L)
+        if fn is None:
+            fn = compiled[L] = build(L)
+        wav = fn(params, padded, jnp.int32(tf))
+        return wav[0, 0, :tf * hop]
+
+    synthesize.cache = compiled
+    return synthesize
 
 
 def tokenize_sequence_parallel(params, cfg: Config, wav, mesh: Mesh | None = None,

@@ -76,6 +76,60 @@ def test_sp_factory_buckets_and_reuses_compiles():
     assert len(tok.cache) == 2, sorted(tok.cache)
 
 
+def test_sp_synthesize_matches_full_sequence():
+    """Sequence-parallel decode == single-device codec.decode (fp32 rounding)."""
+    from audiotokenization_tpu.parallel.sp import make_sp_synthesizer
+
+    cfg = tiny_config()  # decoder up_ratios (5, 2), hop 10
+    params = C.init_codec(jax.random.key(6), cfg)
+    rng = np.random.RandomState(6)
+    tf = 8 * 30  # 30 frames/device
+    codes = jnp.asarray(rng.randint(0, cfg.model.codec_decoder.codebook_size,
+                                    (1, tf)), jnp.int32)
+    z = C.codes_to_emb(params, cfg, jnp.swapaxes(codes, 0, 1)[None])
+    full = np.asarray(C.decode(params, cfg, z))[0, 0]
+    syn = make_sp_synthesizer(cfg, make_data_mesh(), chunk_quantum_frames=10)
+    got = np.asarray(syn(params, codes))
+    assert got.shape == full.shape == (tf * 10,)
+    # conv summation order differs between the windowed and full-length
+    # shapes (backend-dependent), so equality is to fp32 rounding, not bitwise
+    np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-6)
+
+
+def test_sp_synthesize_uneven_and_bucket_reuse():
+    from audiotokenization_tpu.parallel.sp import make_sp_synthesizer
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(7), cfg)
+    syn = make_sp_synthesizer(cfg, make_data_mesh(), chunk_quantum_frames=30)
+    rng = np.random.RandomState(7)
+    for tf in (8 * 30, 8 * 30 - 17, 8 * 30 + 5):
+        codes = jnp.asarray(rng.randint(0, 64, (1, tf)), jnp.int32)
+        z = C.codes_to_emb(params, cfg, jnp.swapaxes(codes, 0, 1)[None])
+        full = np.asarray(C.decode(params, cfg, z))[0, 0]
+        got = np.asarray(syn(params, codes))
+        np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-6)
+    assert len(syn.cache) == 2, sorted(syn.cache)
+
+
+def test_sp_roundtrip_tokens_to_wav():
+    """wav -> SP tokenize -> SP synthesize equals the single-device round trip."""
+    from audiotokenization_tpu.parallel.sp import (make_sp_synthesizer,
+                                                   tokenize_sequence_parallel)
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(8), cfg)
+    rng = np.random.RandomState(8)
+    wav = (rng.randn(8 * 400) * 0.1).astype(np.float32)
+    mesh = make_data_mesh()
+    codes = tokenize_sequence_parallel(params, cfg, wav, mesh)
+    z = C.codes_to_emb(params, cfg, np.swapaxes(np.asarray(codes), 0, 1)[None])
+    full = np.asarray(C.decode(params, cfg, z))[0, 0]
+    syn = make_sp_synthesizer(cfg, mesh, chunk_quantum_frames=40)
+    np.testing.assert_allclose(np.asarray(syn(params, codes)), full,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sp_reset_mode_high_agreement():
     cfg = tiny_config()
     params = C.init_codec(jax.random.key(3), cfg)
