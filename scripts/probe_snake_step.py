@@ -73,8 +73,6 @@ def main():
 
     def run_variant(name):
         step = jit_train_step(cfg, donate=False)
-        s, m = step(state, batch)
-        np.asarray(m["gen_loss"])
 
         def run(n):
             s2, m2 = step(state, batch)
