@@ -114,3 +114,125 @@ class StreamingTokenizer:
 
     def step(self, state: StreamState, chunk):
         return self._step(self.params, state, chunk)
+
+
+class SynthState(NamedTuple):
+    latent_tail: jnp.ndarray   # (B, C_in, 6) — decoder conv_in k7 lookback
+    lstm_state: Any            # list of (h, c) per layer
+    post_tail: jnp.ndarray     # (B, D, P) post-LSTM frames (P = stack lookback)
+    pos: jnp.ndarray           # frames decoded so far (for startup edge masks)
+
+
+def _zero_before_start(x, start):
+    """Zero positions whose global index is negative (start = global index of
+    x[..., 0], traced). Offline causal convs zero-pad at EVERY layer; the
+    replay window's pre-stream region must match, and transpose-conv biases
+    make it nonzero otherwise (weight-norm conv biases are zeroed by the
+    reference init, ConvTranspose biases are not — vq/codec_decoder init)."""
+    g = start + jnp.arange(x.shape[-1])
+    return x * (g >= 0).astype(x.dtype)
+
+
+class StreamingSynthesizer:
+    """Stateful chunk-by-chunk decoder for `causal: true` BigCodec configs.
+
+    The reverse of StreamingTokenizer: consumes token chunks, emits their
+    waveform samples with the same values as offline decoding of the whole
+    stream (to fp32 rounding — conv summation order varies with window
+    shape). Causality means every emitted sample depends only on already-seen
+    frames; the state is (a) the conv_in lookback latents, (b) the ResLSTM
+    (h, c), and (c) the last P post-LSTM frames, where P covers the
+    upsampling stack's total left receptive field — values closer to the
+    window start than each causal conv's own zero padding would corrupt are
+    never emitted (the recursion below accumulates that reach per block).
+    """
+
+    def __init__(self, params, cfg: Config, *, chunk_frames: int):
+        d = cfg.model.codec_decoder
+        if d.type != "bigcodec" or not d.causal or d.rnn_bidirectional:
+            raise ValueError("streaming synthesis requires a causal "
+                             "unidirectional bigcodec decoder config")
+        self.params = params
+        self.cfg = cfg
+        self.chunk_frames = chunk_frames
+        self.hop = int(np.prod(d.up_ratios))
+        # lookback of [blocks + tail conv] in post-LSTM frames: walk the
+        # stack backwards; each block maps an output-scale reach r to
+        # ceil((r + units_reach)/stride) + tconv's 2-frame reach
+        units = sum(6 * dd for dd in d.dilations)  # causal k7: (k-1)*d each
+        r = 6  # conv_out k7 causal
+        for s in reversed(tuple(d.up_ratios)):
+            r = -(-(r + units) // s) + 2
+        self.post = r
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self, batch_size: int = 1) -> SynthState:
+        d = self.cfg.model.codec_decoder
+        ch = d.upsample_initial_channel
+        lstm_state = [(jnp.zeros((batch_size, ch), jnp.float32),
+                       jnp.zeros((batch_size, ch), jnp.float32))
+                      for _ in range(d.rnn_num_layers)]
+        return SynthState(
+            latent_tail=jnp.zeros((batch_size, d.in_channels, 6), jnp.float32),
+            lstm_state=lstm_state,
+            post_tail=jnp.zeros((batch_size, ch, self.post), jnp.float32),
+            pos=jnp.int32(0),
+        )
+
+    def _step_impl(self, params, state: SynthState, codes):
+        """codes: (Nq, B, chunk_frames) -> (wav (B, chunk_frames*hop), state)."""
+        from . import codec as C
+        from .bigcodec import decoder_block
+
+        cfg = self.cfg
+        d = cfg.model.codec_decoder
+        dec = params["decoder"]
+        aa = _AA(d.antialias)
+        F = self.chunk_frames
+        with jax.default_matmul_precision("float32"):
+            emb = C.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
+            window = jnp.concatenate([state.latent_tail, emb], axis=2)
+            x = _wn_conv(window, dec["conv_in"], causal=True)[:, :, -F:]
+            if d.use_rnn:
+                x, lstm_state = res_lstm_streaming(x, dec["lstm"],
+                                                   state.lstm_state,
+                                                   num_layers=d.rnn_num_layers)
+            else:
+                lstm_state = state.lstm_state
+            y = jnp.concatenate([state.post_tail, x], axis=2)
+            w0 = state.pos - self.post  # global frame index of y[..., 0]
+            scale = 1
+            from .bigcodec import residual_unit
+
+            for i, stride in enumerate(tuple(d.up_ratios)):
+                p = dec["blocks"][i]
+                y = aa(y, p["snake"])
+                if stride != 1:
+                    from ..ops.conv import causal_conv_transpose1d, get_weight
+
+                    y = causal_conv_transpose1d(y, get_weight(p["up"]),
+                                                p["up"].get("b"), stride=stride)
+                else:
+                    from .bigcodec import _wn_tconv
+
+                    y = _wn_tconv(y, p["up"])
+                scale *= stride
+                y = _zero_before_start(y, w0 * scale)
+                for j, dd in enumerate(tuple(d.dilations)):
+                    y = residual_unit(y, p["units"][j], dilation=dd,
+                                      causal=True, aa=aa)
+                    y = _zero_before_start(y, w0 * scale)
+            y = aa(y, dec["snake_out"])
+            y = _wn_conv(y, dec["conv_out"], causal=True)
+            wav = jnp.tanh(y[:, :, -F * self.hop:])
+        new_state = SynthState(
+            latent_tail=window[:, :, -6:],
+            lstm_state=lstm_state,
+            post_tail=jnp.concatenate([state.post_tail, x],
+                                      axis=2)[:, :, -self.post:],
+            pos=state.pos + F,
+        )
+        return wav[:, 0], new_state
+
+    def step(self, state: SynthState, codes):
+        return self._step(self.params, state, codes)

@@ -69,3 +69,60 @@ def test_streaming_five_stage_config():
         pieces.append(np.asarray(codes))
     streamed = np.concatenate(pieces, axis=2)
     np.testing.assert_array_equal(streamed, offline)
+
+
+def test_streaming_synthesizer_matches_offline_decode():
+    """Chunked causal decoding equals offline decode (fp32 rounding)."""
+    from audiotokenization_tpu.models.streaming import StreamingSynthesizer
+
+    cfg = causal_tiny_config()
+    params = C.init_codec(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    F = 120
+    codes = jnp.asarray(rng.randint(0, 64, (1, 2, F)), jnp.int32)  # (Nq,B,F)
+    emb = C.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
+    offline = np.asarray(C.decode(params, cfg, emb))[:, 0]  # (B, T)
+
+    syn = StreamingSynthesizer(params, cfg, chunk_frames=20)
+    state = syn.init_state(batch_size=2)
+    pieces = []
+    for start in range(0, F, 20):
+        wav, state = syn.step(state, codes[:, :, start:start + 20])
+        pieces.append(np.asarray(wav))
+    streamed = np.concatenate(pieces, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_synthesizer_rejects_noncausal():
+    from audiotokenization_tpu.models.streaming import StreamingSynthesizer
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(0), cfg)
+    with pytest.raises(ValueError):
+        StreamingSynthesizer(params, cfg, chunk_frames=20)
+
+
+def test_streaming_roundtrip_causal():
+    """Live loop: stream wav -> tokens -> wav; equals offline round trip."""
+    from audiotokenization_tpu.models.streaming import StreamingSynthesizer
+
+    cfg = causal_tiny_config()
+    params = C.init_codec(jax.random.key(4), cfg)
+    rng = np.random.RandomState(4)
+    T = 800
+    wav = (rng.randn(1, T) * 0.1).astype(np.float32)
+    offline_codes = C.tokenize(params, cfg, jnp.asarray(wav))
+    emb = C.codes_to_emb(params, cfg, jnp.moveaxis(offline_codes, 0, -1))
+    offline_wav = np.asarray(C.decode(params, cfg, emb))[:, 0]
+
+    tok = StreamingTokenizer(params, cfg, chunk_samples=200)
+    syn = StreamingSynthesizer(params, cfg, chunk_frames=20)
+    ts, ss = tok.init_state(1), syn.init_state(1)
+    out = []
+    for start in range(0, T, 200):
+        codes, ts = tok.step(ts, jnp.asarray(wav[:, start:start + 200]))
+        w, ss = syn.step(ss, codes)
+        out.append(np.asarray(w))
+    np.testing.assert_allclose(np.concatenate(out, axis=1), offline_wav,
+                               rtol=1e-5, atol=1e-6)
