@@ -137,8 +137,60 @@ def main(argv=None):
         def tokenize(params, wav):
             return C.tokenize(params, cfg, wav, mode=args.mode)
 
+    # int16 is the reference contract (codebooks <= 32767); large
+    # LFQ-style codebooks fall back to int32 to avoid overflow
+    dtype = np.int16 if cfg.model.codec_decoder.codebook_size <= 32767 else np.int32
+
+    def save_one(subset, fileid, codes):  # codes (Nq, frames)
+        indices = codes.T if codes.shape[0] > 1 else codes[0]  # (T, Nq) | (T,)
+        speaker, chapter = parse_fileid(fileid)
+        sub_dir = out_dir / subset / speaker / chapter
+        sub_dir.mkdir(parents=True, exist_ok=True)
+        np.save(sub_dir / f"{fileid}.npy", indices.astype(dtype))
+
+    # ragged batching (utils/ragged.py): exact per-file tokens, one device
+    # call per batch; buckets of ceil(len/1s) bound compiles. The reference
+    # forces batch 1 (extract_indices.py:397) — this is the TPU throughput
+    # fix, and it is used even at batch_size=1: bucketing via the per-sample
+    # edge mask avoids one XLA compile per unique file length.
+    enc_cfg = cfg.model.codec_encoder
+    batched = (sp_tok is None and not args.exact
+               and enc_cfg.type == "bigcodec"
+               and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional)
+               and not (cfg.train.use_semantic and cfg.train.concat_semantic))
+    if batched:
+        from ..utils.ragged import make_ragged_tokenizer
+
+        ragged = make_ragged_tokenizer(cfg, mode=args.mode)
+    pending: dict = {}
+    quantum = max(args.sample_rate // hop * hop, hop)
+
     count = 0
     errors = 0
+    last_print = 0
+
+    def flush(key):
+        nonlocal count, errors
+        items = pending.pop(key, None)
+        if not items:
+            return
+        plen, dt = key
+        try:
+            wavs = np.zeros((args.batch_size, plen), dt)
+            lens = np.zeros((args.batch_size,), np.int32)
+            for i, (_, _, w) in enumerate(items):
+                wavs[i, :len(w)] = w
+                lens[i] = len(w)
+            codes = np.asarray(ragged(params, jnp.asarray(wavs),
+                                      jnp.asarray(lens)))  # (Nq, B, plen/hop)
+            for i, (subset_i, fileid_i, w) in enumerate(items):
+                save_one(subset_i, fileid_i, codes[:, i, :len(w) // hop])
+            count += len(items)
+        except Exception as exc:
+            print(f"batch error ({len(items)} files): "
+                  f"{type(exc).__name__}: {exc}")
+            errors += len(items)
+
     t0 = time.time()
     audio_seconds = 0.0
     for subset, f in iter_corpus(Path(args.dataset_root) / args.dataset_path,
@@ -157,21 +209,31 @@ def main(argv=None):
             audio_seconds += len(wav) / args.sample_rate
             if not args.exact and len(wav) % hop != 0:
                 wav = np.pad(wav, (0, hop - len(wav) % hop))
-            if sp_tok is not None:
-                codes = np.asarray(sp_tok(params, jnp.asarray(wav)))  # (Nq, T)
+            if batched:
+                plen = -(-len(wav) // quantum) * quantum
+                # PCM16-origin audio round-trips int16 exactly; shipping it
+                # as int16 halves the host->device bytes (converted on device
+                # inside the ragged tokenizer, bit-identically)
+                w = np.asarray(wav, np.float32)
+                scaled = w * 32768.0
+                if (np.abs(scaled) <= 32767).all() and \
+                        (scaled == np.round(scaled)).all():
+                    w = scaled.astype(np.int16)
+                key = (plen, w.dtype.str)
+                bucket = pending.setdefault(key, [])
+                bucket.append((subset, fileid, w))
+                if len(bucket) == args.batch_size:
+                    flush(key)
             else:
-                codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)
-                codes = np.asarray(codes)[:, 0]  # (Nq, T)
-            indices = codes.T if codes.shape[0] > 1 else codes[0]  # (T, Nq) | (T,)
-            speaker, chapter = parse_fileid(fileid)
-            sub_dir = out_dir / subset / speaker / chapter
-            sub_dir.mkdir(parents=True, exist_ok=True)
-            # int16 is the reference contract (codebooks <= 32767); large
-            # LFQ-style codebooks fall back to int32 to avoid overflow
-            dtype = np.int16 if cfg.model.codec_decoder.codebook_size <= 32767 else np.int32
-            np.save(sub_dir / f"{fileid}.npy", indices.astype(dtype))
-            count += 1
-            if count % 100 == 0:
+                if sp_tok is not None:
+                    codes = np.asarray(sp_tok(params, jnp.asarray(wav)))  # (Nq, T)
+                else:
+                    codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)
+                    codes = np.asarray(codes)[:, 0]  # (Nq, T)
+                save_one(subset, fileid, codes)
+                count += 1
+            if count - last_print >= 100:
+                last_print = count
                 dt = time.time() - t0
                 print(f"saved={count} errors={errors} "
                       f"throughput={audio_seconds / dt:.1f} audio-s/s", flush=True)
@@ -181,6 +243,8 @@ def main(argv=None):
         except Exception as e:
             print(f"error on {fileid}: {type(e).__name__}: {e}")
             errors += 1
+    for key in sorted(pending):
+        flush(key)
     dt = time.time() - t0
     print(json.dumps({"saved": count, "errors": errors,
                       "audio_seconds": round(audio_seconds, 1),

@@ -196,7 +196,38 @@ def _encode_bigcodec_mixed(params, cfg: Config, wav):
     return x
 
 
-def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
+def semantic_vq_in(params, cfg: Config, latents, semantic_target=None):
+    """The SSL branch's pre-VQ projection (lightning_module.py:240-255):
+    with use_semantic, the quantizer consumes fc_prior(latents) — or
+    fc_prior(concat(SemanticEncoder(teacher), latents)) when
+    concat_semantic — NOT the raw encoder latents. Token extraction for
+    semantic checkpoints must apply it or the codes are meaningless.
+    concat configs need the teacher target at tokenization time (the
+    reference's own extract path predates the semantic layout entirely,
+    extract_indices.py:353-363; this is the current-layout behavior)."""
+    if not cfg.train.use_semantic:
+        return latents
+    from ..ops.conv import linear
+
+    sem_p = params["semantic"]
+    if cfg.train.concat_semantic:
+        if semantic_target is None:
+            raise ValueError(
+                "concat_semantic checkpoints quantize concat(semantic, "
+                "latents); pass semantic_target (B, 1024, Tf) — e.g. "
+                "precomputed w2v-bert layer-16 features "
+                "(cli/precompute_semantic.py)")
+        from .semantic import semantic_bottleneck
+
+        sem = semantic_bottleneck(sem_p["encoder"],
+                                  jax.lax.stop_gradient(semantic_target))
+        latents = jnp.concatenate([sem, latents], axis=1)
+    out = linear(jnp.swapaxes(latents, 1, 2), sem_p["fc_prior"])
+    return jnp.swapaxes(out, 1, 2)
+
+
+def tokenize(params, cfg: Config, wav, *, mode: str = "conformant",
+             semantic_target=None):
     """wav (B, T) -> token indices (Nq, B, Tf) — the extract_indices path.
 
     mode='conformant' (default): full-fp32 matmul accumulation everywhere.
@@ -220,6 +251,7 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
         enc_params = {**params, "encoder": _cast_tree(params["encoder"], jnp.bfloat16)}
         latents = encode(enc_params, cfg, wav.astype(jnp.bfloat16)).astype(jnp.float32)
         with jax.default_matmul_precision("float32"):
+            latents = semantic_vq_in(params, cfg, latents, semantic_target)
             _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes
     if mode == "balanced":
@@ -227,6 +259,7 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
         # tail + VQ (the final frames are cheap and closest to the argmin)
         latents = _encode_bigcodec_mixed(params, cfg, wav)
         with jax.default_matmul_precision("float32"):
+            latents = semantic_vq_in(params, cfg, latents, semantic_target)
             _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes
     if mode == "high":
@@ -238,12 +271,14 @@ def tokenize(params, cfg: Config, wav, *, mode: str = "conformant"):
         with jax.default_matmul_precision("tensorfloat32"):
             latents = encode(params, cfg, wav)
         with jax.default_matmul_precision("float32"):
+            latents = semantic_vq_in(params, cfg, latents, semantic_target)
             _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes
     if mode != "conformant":
         raise ValueError(f"unknown tokenize mode {mode!r}")
     with jax.default_matmul_precision("float32"):
         latents = encode(params, cfg, wav)
+        latents = semantic_vq_in(params, cfg, latents, semantic_target)
         _, codes, _ = quantize(params, cfg, latents, training=False)
         return codes
 

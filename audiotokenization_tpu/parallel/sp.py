@@ -69,9 +69,14 @@ def _edge_mask(x, start, S, T):
     global t < 0). Re-zeroing after each conv reproduces the layer-wise
     padding bit for bit; interior devices' masks are all-ones (no effect).
     start: traced global index (at scale S=1) of the window's first sample.
+    T may be a scalar bound or a per-sample (B,) vector (ragged batches).
     """
     g = start // S + jnp.arange(x.shape[-1])
-    return x * ((g >= 0) & (g < T // S)).astype(x.dtype)
+    bound = jnp.asarray(T) // S
+    if bound.ndim == 0:
+        return x * ((g >= 0) & (g < bound)).astype(x.dtype)
+    mask = (g[None, :] >= 0) & (g[None, :] < bound[:, None])  # (B, L)
+    return x * mask[:, None, :].astype(x.dtype)
 
 
 def _conv_front(enc, e, x, start, T):
@@ -224,6 +229,7 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
                 with jax.default_matmul_precision(prec):
                     lat = run(enc, window[None, None, :])
             with jax.default_matmul_precision("float32"):
+                lat = C.semantic_vq_in(params, cfg, lat)
                 _, codes, _ = C.quantize(params, cfg, lat, training=False)
             return codes
 

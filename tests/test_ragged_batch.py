@@ -1,0 +1,88 @@
+"""Ragged-batch tokenization: batched variable-length files == per-file tokens."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiotokenization_tpu.models import codec as C
+from audiotokenization_tpu.utils.ragged import make_ragged_tokenizer
+
+from test_train_step import tiny_config
+
+
+def test_ragged_batch_exact_vs_per_file():
+    cfg = tiny_config()  # hop 10
+    params = C.init_codec(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    lengths = [730, 400, 1000, 90]  # hop multiples
+    wavs = [(rng.randn(T) * 0.1).astype(np.float32) for T in lengths]
+    L = 1000
+    batch = np.zeros((4, L), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+    tok = make_ragged_tokenizer(cfg)
+    codes = np.asarray(tok(params, jnp.asarray(batch),
+                           jnp.asarray(lengths, jnp.int32)))
+    assert codes.shape == (1, 4, L // 10)
+    for i, w in enumerate(wavs):
+        single = np.asarray(C.tokenize(params, cfg, jnp.asarray(w)[None]))[:, 0]
+        np.testing.assert_array_equal(codes[:, i, :len(w) // 10], single)
+
+
+def test_ragged_zero_length_row_is_harmless():
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(1), cfg)
+    rng = np.random.RandomState(1)
+    w = (rng.randn(500) * 0.1).astype(np.float32)
+    batch = np.zeros((2, 500), np.float32)
+    batch[0] = w
+    tok = make_ragged_tokenizer(cfg)
+    codes = np.asarray(tok(params, jnp.asarray(batch),
+                           jnp.asarray([500, 0], jnp.int32)))
+    single = np.asarray(C.tokenize(params, cfg, jnp.asarray(w)[None]))[:, 0]
+    np.testing.assert_array_equal(codes[:, 0], single)
+
+
+def test_extract_cli_batched_matches_single(tmp_path):
+    """extract_indices --batch_size 3 writes byte-identical .npy trees."""
+    from audiotokenization_tpu.cli.extract_indices import main as extract
+    from audiotokenization_tpu.data.audio_io import write_wav
+    from audiotokenization_tpu.train.checkpoint import CheckpointManager
+    from audiotokenization_tpu.train.state import init_train_state
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(2)
+    root = tmp_path / "data/LibriSpeech/test-clean/7/21"
+    root.mkdir(parents=True)
+    for i, T in enumerate((1210, 433, 780, 1111, 350)):
+        write_wav(root / f"7-21-{i:04d}.wav",
+                  (rng.randn(T) * 0.1).astype(np.float32), 16000)
+    run_dir = tmp_path / "run"
+    state = init_train_state(jax.random.key(0), cfg)
+    ckpt = CheckpointManager(str(run_dir), cfg)
+    ckpt.save(state, metric=1.0)
+    ckpt.wait()
+
+    common = ["--dataset_root", str(tmp_path / "data"), "--save_path",
+              str(run_dir), "--dataset_path", "LibriSpeech", "--ext_audio",
+              ".wav", "--subsets", "test-clean"]
+    extract(common + ["--output_folder", "tok1", "--batch_size", "1"])
+    extract(common + ["--output_folder", "tok3", "--batch_size", "3"])
+    a = sorted((run_dir / "tok1").rglob("*.npy"))
+    b = sorted((run_dir / "tok3").rglob("*.npy"))
+    assert len(a) == len(b) == 5
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.load(fa), np.load(fb))
+
+
+def test_ragged_int16_input_matches_float():
+    """int16 PCM shipped to device == host-converted float32, bit for bit."""
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-32768, 32767, (2, 500)).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    tok = make_ragged_tokenizer(cfg)
+    lens = jnp.asarray([500, 300], jnp.int32)
+    a = np.asarray(tok(params, jnp.asarray(pcm), lens))
+    b = np.asarray(tok(params, jnp.asarray(f32), lens))
+    np.testing.assert_array_equal(a, b)

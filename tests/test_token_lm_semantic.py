@@ -1,5 +1,6 @@
 """Token LM + semantic branch tests (tiny shapes, CPU)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -90,3 +91,55 @@ def test_semantic_train_step():
     state1, metrics = jit_train_step(cfg)(state, batch)
     assert np.isfinite(float(metrics["semantic_recon_loss"]))
     assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_semantic_tokenize_matches_forward_codes():
+    """Token extraction for SSL checkpoints must apply fc_prior
+    (lightning_module.py:240-255): tokenize == forward().vq_code."""
+    from audiotokenization_tpu.models import codec as C
+
+    rng = np.random.RandomState(2)
+    wav = jnp.asarray(rng.randn(2, 800).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.randn(2, 1024, 80).astype(np.float32))
+
+    # non-concat: teacher-free tokenization
+    cfg = tiny_config()
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = False
+    params = C.init_codec(jax.random.key(9), cfg)
+    fwd = np.asarray(C.forward(params, cfg, {"wav": wav,
+                                             "semantic_target": tgt}).vq_code)
+    tok = np.asarray(C.tokenize(params, cfg, wav))
+    np.testing.assert_array_equal(tok, fwd)
+
+    # concat: requires the teacher target
+    cfg2 = tiny_config()
+    cfg2.train.use_semantic = True
+    cfg2.train.concat_semantic = True
+    params2 = C.init_codec(jax.random.key(10), cfg2)
+    fwd2 = np.asarray(C.forward(params2, cfg2, {"wav": wav,
+                                                "semantic_target": tgt}).vq_code)
+    tok2 = np.asarray(C.tokenize(params2, cfg2, wav, semantic_target=tgt))
+    np.testing.assert_array_equal(tok2, fwd2)
+    with pytest.raises(ValueError):
+        C.tokenize(params2, cfg2, wav)  # concat without a target
+
+
+def test_semantic_tokenize_ragged_matches():
+    """The extract CLI's ragged path applies fc_prior too (non-concat)."""
+    from audiotokenization_tpu.models import codec as C
+    from audiotokenization_tpu.utils.ragged import make_ragged_tokenizer
+
+    cfg = tiny_config()
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = False
+    params = C.init_codec(jax.random.key(11), cfg)
+    rng = np.random.RandomState(3)
+    w = (rng.randn(500) * 0.1).astype(np.float32)
+    single = np.asarray(C.tokenize(params, cfg, jnp.asarray(w)[None]))[:, 0]
+    tok = make_ragged_tokenizer(cfg)
+    batch = np.zeros((2, 500), np.float32)
+    batch[0] = w
+    codes = np.asarray(tok(params, jnp.asarray(batch),
+                           jnp.asarray([500, 0], jnp.int32)))
+    np.testing.assert_array_equal(codes[:, 0], single)
