@@ -118,6 +118,14 @@ def main(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, params = load_model(args.save_path)
+    if cfg.train.use_semantic and cfg.train.concat_semantic:
+        raise SystemExit(
+            "this checkpoint quantizes concat(semantic, latents) "
+            "(concat_semantic: true): tokenization needs per-utterance "
+            "w2v-bert teacher targets. Precompute them with "
+            "cli/precompute_semantic.py and use codec.tokenize(..., "
+            "semantic_target=...) — no corpus CLI path exists for this "
+            "layout (the reference's extract_indices predates it too).")
     hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
         if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
 
@@ -129,6 +137,9 @@ def main(argv=None):
         from ..parallel.sp import make_sp_tokenizer
 
         sp_mode = "conformant" if args.mode == "balanced" else args.mode
+        if sp_mode != args.mode:
+            print(f"note: --mode {args.mode} has no sequence-parallel "
+                  f"variant; using {sp_mode}")
         sp_tok = make_sp_tokenizer(cfg, make_data_mesh(), mode=sp_mode)
     else:
         sp_tok = None
@@ -156,6 +167,7 @@ def main(argv=None):
     enc_cfg = cfg.model.codec_encoder
     batched = (sp_tok is None and not args.exact
                and enc_cfg.type == "bigcodec"
+               and not enc_cfg.antialias  # masking inexact (utils/ragged.py)
                and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional)
                and not (cfg.train.use_semantic and cfg.train.concat_semantic))
     if batched:
@@ -187,9 +199,23 @@ def main(argv=None):
                 save_one(subset_i, fileid_i, codes[:, i, :len(w) // hop])
             count += len(items)
         except Exception as exc:
-            print(f"batch error ({len(items)} files): "
+            # one bad batch must not lose batch_size files: retry each item
+            # alone through the same bucketed path (B rows, one live)
+            print(f"batch error ({len(items)} files), retrying per file: "
                   f"{type(exc).__name__}: {exc}")
-            errors += len(items)
+            for subset_i, fileid_i, w in items:
+                try:
+                    wavs = np.zeros((args.batch_size, plen), dt)
+                    lens = np.zeros((args.batch_size,), np.int32)
+                    wavs[0, :len(w)] = w
+                    lens[0] = len(w)
+                    codes = np.asarray(ragged(params, jnp.asarray(wavs),
+                                              jnp.asarray(lens)))
+                    save_one(subset_i, fileid_i, codes[:, 0, :len(w) // hop])
+                    count += 1
+                except Exception as exc2:
+                    print(f"error on {fileid_i}: {type(exc2).__name__}: {exc2}")
+                    errors += 1
 
     t0 = time.time()
     audio_seconds = 0.0

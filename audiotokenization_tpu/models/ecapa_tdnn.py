@@ -40,25 +40,29 @@ def log_mel_fbank(wav, *, sample_rate: int = 16000, n_mels: int = 80,
     return feats - jnp.mean(feats, axis=-1, keepdims=True)  # CMN
 
 
-def mfcc(wav, *, sample_rate: int = 16000, n_mfcc: int = 40, n_mels: int = 80,
+def mfcc(wav, *, sample_rate: int = 16000, n_mfcc: int = 40, n_mels: int = 128,
          n_fft: int = 512, hop: int = 160, win: int = 400):
-    """MFCC features: orthonormal DCT-II over the log-mel filterbank.
-
-    The reference's feat_type='mfcc' path (speaker_verification/
-    models/ecapa_tdnn.py:186-196, torchaudio MFCC) — cepstral-mean
-    normalized like the fbank path. wav: (B, T) -> (B, n_mfcc, F).
+    """MFCC features matching the reference's torchaudio MFCC construction
+    (speaker_verification/models/ecapa_tdnn.py:183-193): power mel spectrogram
+    over an HTK-scale unnormalized filterbank (f_min 0, f_max sr/2, the
+    torchaudio melkwargs), power-dB (10*log10, amin 1e-10, top_db 80 per
+    sample — log_mels=False), then orthonormal DCT-II. Cepstral-mean
+    normalized at the end (our stand-in for the reference's InstanceNorm1d,
+    same as the fbank path). wav: (B, T) -> (B, n_mfcc, F).
     """
     s = stft(wav, n_fft=n_fft, hop_length=hop, win_length=win, center=True,
              pad_mode="reflect")
     power = s.real ** 2 + s.imag ** 2
     fb = mel_filterbank(sample_rate=sample_rate, n_fft=n_fft, n_mels=n_mels,
-                        fmin=20.0)
-    logmel = jnp.log(jnp.maximum(jnp.einsum("mf,bft->bmt", fb, power), 1e-6))
+                        fmin=0.0, fmax=sample_rate / 2.0, htk=True, norm=None)
+    mel = jnp.einsum("mf,bft->bmt", fb, power)
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True) - 80.0)
     n = jnp.arange(n_mels)
     k = jnp.arange(n_mfcc)[:, None]
     dct = jnp.cos(jnp.pi * (n[None] + 0.5) * k / n_mels) * jnp.sqrt(2.0 / n_mels)
     dct = dct.at[0].mul(1.0 / jnp.sqrt(2.0))
-    feats = jnp.einsum("km,bmt->bkt", dct, logmel)
+    feats = jnp.einsum("km,bmt->bkt", dct, db)
     return feats - jnp.mean(feats, axis=-1, keepdims=True)  # CMN
 
 

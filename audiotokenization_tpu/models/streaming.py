@@ -58,6 +58,14 @@ class StreamingTokenizer:
         if e.type != "bigcodec" or not e.causal or e.rnn_bidirectional:
             raise ValueError("streaming requires a causal unidirectional "
                              "bigcodec encoder config")
+        if e.antialias:
+            raise NotImplementedError("antialias configs: Activation1d's "
+                                      "replicate-pad filters break streaming "
+                                      "window exactness")
+        if cfg.train.use_semantic and cfg.train.concat_semantic:
+            raise NotImplementedError("concat_semantic tokenization needs "
+                                      "the teacher target per frame; no "
+                                      "streaming path for it")
         self.params = params
         self.cfg = cfg
         self.hop = int(np.prod(e.up_ratios))
@@ -104,6 +112,7 @@ class StreamingTokenizer:
             lat = y[:, :, -n_frames:]
             from . import codec as C
 
+            lat = C.semantic_vq_in(params, cfg, lat)
             _, codes, _ = C.quantize(params, cfg, lat, training=False)
         new_state = StreamState(
             sample_tail=window[:, :, -self.tail:],
@@ -152,6 +161,10 @@ class StreamingSynthesizer:
         if d.type != "bigcodec" or not d.causal or d.rnn_bidirectional:
             raise ValueError("streaming synthesis requires a causal "
                              "unidirectional bigcodec decoder config")
+        if d.antialias:
+            raise NotImplementedError("antialias configs: Activation1d's "
+                                      "replicate-pad filters break the "
+                                      "startup edge masking")
         self.params = params
         self.cfg = cfg
         self.chunk_frames = chunk_frames
@@ -182,7 +195,6 @@ class StreamingSynthesizer:
     def _step_impl(self, params, state: SynthState, codes):
         """codes: (Nq, B, chunk_frames) -> (wav (B, chunk_frames*hop), state)."""
         from . import codec as C
-        from .bigcodec import decoder_block
 
         cfg = self.cfg
         d = cfg.model.codec_decoder

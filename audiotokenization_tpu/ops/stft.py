@@ -160,24 +160,36 @@ def _mel_to_hz_slaney(m):
 
 def mel_filterbank(*, sample_rate: int, n_fft: int, n_mels: int,
                    fmin: float = 0.0, fmax: float | None = None,
+                   htk: bool = False, norm: str | None = "slaney",
                    dtype=jnp.float32):
-    """Slaney-scale, slaney-normed mel matrix (n_mels, n_fft//2 + 1).
+    """Mel matrix (n_mels, n_fft//2 + 1).
 
-    Matches torchaudio.functional.melscale_fbanks(norm='slaney',
-    mel_scale='slaney') / librosa.filters.mel(htk=False, norm='slaney').
+    Default: slaney scale + slaney area norm, matching
+    torchaudio.functional.melscale_fbanks(norm='slaney', mel_scale='slaney')
+    / librosa.filters.mel(htk=False, norm='slaney'). htk=True + norm=None
+    matches the torchaudio MelSpectrogram/MFCC defaults (mel_scale='htk').
     """
     fmax = fmax if fmax is not None else sample_rate / 2.0
     n_freqs = n_fft // 2 + 1
     all_freqs = np.linspace(0, sample_rate / 2.0, n_freqs)
-    m_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
-    f_pts = _mel_to_hz_slaney(m_pts)
+    if htk:
+        def to_mel(f):
+            return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+        def to_hz(m):
+            return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    else:
+        to_mel, to_hz = _hz_to_mel_slaney, _mel_to_hz_slaney
+    m_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    f_pts = to_hz(m_pts)
     f_diff = np.diff(f_pts)
     slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
     down = -slopes[:, :-2] / f_diff[None, :-1]
     up = slopes[:, 2:] / f_diff[None, 1:]
     fb = np.maximum(0.0, np.minimum(down, up))  # (n_freqs, n_mels)
-    enorm = 2.0 / (f_pts[2:n_mels + 2] - f_pts[:n_mels])
-    fb = fb * enorm[None, :]
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2:n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
     return jnp.asarray(fb.T, dtype)  # (n_mels, n_freqs)
 
 

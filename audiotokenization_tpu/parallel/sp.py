@@ -183,8 +183,15 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
         from .mesh import make_data_mesh
         mesh = make_data_mesh()
     n = mesh.shape[axis]
+    if mode not in ("conformant", "high", "fast"):
+        raise ValueError(f"unknown sp tokenize mode {mode!r} "
+                         "(supported: conformant | high | fast)")
     if lstm == "exact" and e.type != "bigcodec":
         raise NotImplementedError("lstm='exact' requires the bigcodec encoder")
+    if lstm == "exact" and e.antialias:
+        # Activation1d's replicate-pad resampling filters break the
+        # edge-mask exactness argument; the warm-up approximation is honest
+        raise NotImplementedError("antialias configs: use lstm='reset'")
 
     hop = int(np.prod(e.up_ratios)) if e.type == "bigcodec" else e.hop_length
     if context_seconds is None:
@@ -244,9 +251,10 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
 
     def tokenize(params, wav):
         # checkpoint-loaded params may be committed to one device; replicate
-        # them over the mesh once (cached by identity across corpus calls)
-        if _params_cache.get("id") != id(params):
-            _params_cache["id"] = id(params)
+        # them over the mesh once. The cache holds the SOURCE object too so
+        # the identity can never be a recycled id of a collected tree.
+        if _params_cache.get("src") is not params:
+            _params_cache["src"] = params
             _params_cache["p"] = jax.device_put(params, repl)
         params = _params_cache["p"]
         T = int(wav.shape[-1])
@@ -344,6 +352,9 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
     if d.causal or d.rnn_bidirectional:
         raise NotImplementedError("sp synthesis covers the non-causal, "
                                   "unidirectional-RNN decoder configs")
+    if d.antialias:
+        raise NotImplementedError("antialias configs break the edge-mask "
+                                  "exactness argument (replicate-pad filters)")
     if mesh is None:
         from .mesh import make_data_mesh
         mesh = make_data_mesh()
@@ -400,8 +411,8 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
     _params_cache: dict = {}
 
     def synthesize(params, codes):
-        if _params_cache.get("id") != id(params):
-            _params_cache["id"] = id(params)
+        if _params_cache.get("src") is not params:
+            _params_cache["src"] = params
             _params_cache["p"] = jax.device_put(params, repl)
         params = _params_cache["p"]
         codes = jnp.asarray(codes)

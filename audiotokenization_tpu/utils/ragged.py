@@ -39,6 +39,15 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
     if e.use_rnn and e.rnn_bidirectional:
         raise NotImplementedError("bidirectional RNN reads the zero tail; "
                                   "ragged batching would not be exact")
+    if e.antialias:
+        # Activation1d's resampling filters use replicate-edge padding, so
+        # re-zeroing out-of-range positions does NOT reproduce the per-file
+        # computation (measured: up to 7e-3 latent drift in tail frames)
+        raise NotImplementedError("antialias configs break the edge-mask "
+                                  "exactness argument; use per-file "
+                                  "extraction (--exact)")
+    if mode not in ("conformant", "high", "fast", "balanced"):
+        raise ValueError(f"unknown tokenize mode {mode!r}")
     hop = int(np.prod(e.up_ratios))
 
     @jax.jit
@@ -51,8 +60,8 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
             wavs = wavs.astype(jnp.float32) / 32768.0
         enc = params["encoder"]
 
-        def encode_masked(enc_p, x):
-            lat = _conv_front(enc_p, e, x[:, None, :], 0, lengths)
+        def finish_masked(enc_p, lat):
+            """LSTM + tail over conv-front latents, with the tail-frame mask."""
             if e.use_rnn:
                 from ..ops.lstm import res_lstm
 
@@ -65,12 +74,22 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
                                      padding=0 if e.causal else 1,
                                      causal=e.causal)
 
+        def encode_masked(enc_p, x):
+            lat = _conv_front(enc_p, e, x[:, None, :], 0, lengths)
+            return finish_masked(enc_p, lat)
+
         if mode == "fast":
             enc16 = C._cast_tree(enc, jnp.bfloat16)
             lat = encode_masked(enc16, wavs.astype(jnp.bfloat16)).astype(jnp.float32)
+        elif mode == "balanced":
+            # bf16 conv front, fp32 LSTM/tail/VQ (codec.tokenize semantics)
+            enc16 = C._cast_tree(enc, jnp.bfloat16)
+            lat = _conv_front(enc16, e, wavs.astype(jnp.bfloat16)[:, None, :],
+                              0, lengths).astype(jnp.float32)
+            with jax.default_matmul_precision("float32"):
+                lat = finish_masked(enc, lat)
         else:
-            prec = {"conformant": "float32", "high": "tensorfloat32",
-                    "balanced": "float32"}[mode]
+            prec = {"conformant": "float32", "high": "tensorfloat32"}[mode]
             with jax.default_matmul_precision(prec):
                 lat = encode_masked(enc, wavs)
         with jax.default_matmul_precision("float32"):

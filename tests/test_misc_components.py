@@ -12,22 +12,37 @@ from audiotokenization_tpu.train.schedule import warmup_lr_schedule
 from audiotokenization_tpu.utils.tome import adjacent_chained_merge, unmerge
 
 
-def test_mfcc_is_orthonormal_dct_of_logmel():
-    """MFCC == DCT-II(ortho) of the log-mel fbank, cepstral-mean normalized."""
-    from audiotokenization_tpu.models.ecapa_tdnn import log_mel_fbank, mfcc
+def test_mfcc_matches_torchaudio_formula():
+    """MFCC == DCT-II(ortho) of the power-dB HTK mel spectrogram, i.e. the
+    torchaudio MFCC(log_mels=False) construction the reference uses
+    (speaker_verification/models/ecapa_tdnn.py:183-193), built here
+    independently with numpy + scipy on our (golden-tested) STFT."""
+    from audiotokenization_tpu.models.ecapa_tdnn import mfcc
+    from audiotokenization_tpu.ops.stft import stft
     import scipy.fft as sf
 
     rng = np.random.RandomState(0)
     wav = jnp.asarray((rng.randn(2, 4000) * 0.1).astype(np.float32))
-    # reconstruct log-mel without CMN: fbank() returns CMN'ed; undo is not
-    # possible, so recompute the un-normalized log-mel via mfcc's own path:
-    # verify against scipy DCT applied to (fbank + its removed mean is
-    # irrelevant: DCT is linear and CMN at the end removes the means again)
-    fb = np.asarray(log_mel_fbank(wav))
-    ref = sf.dct(fb, type=2, norm="ortho", axis=1)[:, :40]
+    s = np.asarray(stft(wav, n_fft=512, hop_length=160, win_length=400,
+                        center=True, pad_mode="reflect"))
+    power = np.abs(s) ** 2
+    # independent HTK filterbank (torchaudio mel_scale='htk', norm=None)
+    n_mels, sr = 128, 16000
+    freqs = np.linspace(0, sr / 2, 257)
+    mels = np.linspace(0, 2595 * np.log10(1 + (sr / 2) / 700), n_mels + 2)
+    pts = 700 * (10 ** (mels / 2595) - 1)
+    fbk = np.zeros((n_mels, 257))
+    for m in range(n_mels):
+        lo, ce, hi = pts[m], pts[m + 1], pts[m + 2]
+        fbk[m] = np.clip(np.minimum((freqs - lo) / (ce - lo),
+                                    (hi - freqs) / (hi - ce)), 0, None)
+    mel = np.einsum("mf,bft->bmt", fbk, power)
+    db = 10 * np.log10(np.maximum(mel, 1e-10))
+    db = np.maximum(db, db.max(axis=(-2, -1), keepdims=True) - 80.0)
+    ref = sf.dct(db, type=2, norm="ortho", axis=1)[:, :40]
     ref = ref - ref.mean(-1, keepdims=True)
     got = np.asarray(mfcc(wav, n_mfcc=40))
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
 def test_ssl_weighted_features_and_embed():

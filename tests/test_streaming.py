@@ -126,3 +126,21 @@ def test_streaming_roundtrip_causal():
         out.append(np.asarray(w))
     np.testing.assert_allclose(np.concatenate(out, axis=1), offline_wav,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_semantic_tokens_match_offline():
+    """Streaming tokenization applies the SSL fc_prior projection too."""
+    cfg = causal_tiny_config()
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = False
+    params = C.init_codec(jax.random.key(5), cfg)
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(1, 600) * 0.1).astype(np.float32)
+    offline = np.asarray(C.tokenize(params, cfg, jnp.asarray(wav)))
+    st = StreamingTokenizer(params, cfg, chunk_samples=200)
+    state = st.init_state(1)
+    pieces = []
+    for s in range(0, 600, 200):
+        codes, state = st.step(state, jnp.asarray(wav[:, s:s + 200]))
+        pieces.append(np.asarray(codes))
+    np.testing.assert_array_equal(np.concatenate(pieces, axis=2), offline)
