@@ -128,44 +128,123 @@ def main(argv=None):
             "si_snr": M.si_snr(y_, y), "si_sdr": M.si_sdr(y_, y),
         }
 
+    # full-length eval: bucketed ragged batches instead of the reference's
+    # batch-1 full-length policy (one compile per unique length). Exact
+    # per-file tokens; waveforms to fp32 rounding (utils/ragged.py).
+    ragged_codec = None
+    if dur is None and args.batch_size > 1:
+        try:
+            from ..utils.ragged import make_ragged_codec
+
+            ragged_codec = make_ragged_codec(cfg)
+        except NotImplementedError as exc:
+            print(f"note: ragged full-length batching unavailable ({exc}); "
+                  "running batch-1")
+
     usage = Counter()
     agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
     saved_examples = 0
     n_frames_total = 0
     t0 = time.time()
     audio_seconds = 0.0
-    for bi, batch in enumerate(loader):
-        if args.max_batches is not None and bi >= args.max_batches:
-            break
-        wav = jnp.asarray(batch["wav"])
-        audio_seconds += wav.shape[0] * wav.shape[1] / sr
-        out = eval_step(params, wav)
-        agg["si_snr"].append(float(out["si_snr"]))
-        agg["si_sdr"].append(float(out["si_sdr"]))
-        codes = np.asarray(out["codes"]).reshape(-1)
-        usage.update(codes.tolist())
-        n_frames_total += codes.size
-        gt = np.asarray(batch["wav"])
-        gen = np.asarray(out["gen"])[:, 0]
-        for j in range(min(len(gt), 2)):
-            s = M.stoi(gt[j], gen[j], sr)
-            if np.isfinite(s):
-                agg["stoi"].append(s)
-            pq = M.pesq_metric(gt[j], gen[j], sr)
+
+    def per_file(gt_i, gen_i, codes_i, want_quality: bool):
+        nonlocal saved_examples, n_frames_total
+        agg["si_snr"].append(float(M.si_snr(jnp.asarray(gen_i)[None],
+                                            jnp.asarray(gt_i)[None])))
+        agg["si_sdr"].append(float(M.si_sdr(jnp.asarray(gen_i)[None],
+                                            jnp.asarray(gt_i)[None])))
+        flat = codes_i.reshape(-1)
+        usage.update(flat.tolist())
+        n_frames_total += flat.size
+        if want_quality:
+            st = M.stoi(gt_i, gen_i, sr)
+            if np.isfinite(st):
+                agg["stoi"].append(st)
+            pq = M.pesq_metric(gt_i, gen_i, sr)
             if pq is not None:
                 agg["pesq"].append(pq)
             else:
-                pa = M.pesq_approx(gt[j], gen[j], sr)
+                pa = M.pesq_approx(gt_i, gen_i, sr)
                 if np.isfinite(pa):
                     agg["pesq_approx"].append(pa)
-        while saved_examples < args.num_examples and saved_examples < len(gt):
+        if saved_examples < args.num_examples:
             i = saved_examples
-            write_wav(out_dir / f"example_{i}_gt.wav", gt[i], sr)
-            write_wav(out_dir / f"example_{i}_recon.wav", gen[i], sr)
-            _save_spectrogram_png(out_dir / f"example_{i}_spec.png", gt[i], gen[i], sr)
+            write_wav(out_dir / f"example_{i}_gt.wav", gt_i, sr)
+            write_wav(out_dir / f"example_{i}_recon.wav", gen_i, sr)
+            _save_spectrogram_png(out_dir / f"example_{i}_spec.png", gt_i,
+                                  gen_i, sr)
             saved_examples += 1
-        if bi % 20 == 0:
-            print(f"batch {bi}: si_snr={agg['si_snr'][-1]:.2f}", flush=True)
+
+    if ragged_codec is not None:
+        quantum = max(sr // hop * hop, hop)
+        pending: dict = {}
+        done = [0]
+
+        def flush(plen):
+            items = pending.pop(plen, None)
+            if not items:
+                return
+            wavs = np.zeros((args.batch_size, plen), np.float32)
+            lens = np.zeros((args.batch_size,), np.int32)
+            for i, w in enumerate(items):
+                wavs[i, :len(w)] = w
+                lens[i] = len(w)
+            recon, codes = ragged_codec(params, jnp.asarray(wavs),
+                                        jnp.asarray(lens))
+            recon, codes = np.asarray(recon), np.asarray(codes)
+            for i, w in enumerate(items):
+                # STOI/PESQ are slow CPU metrics: first 2 files per batch,
+                # mirroring the non-ragged path's min(len(gt), 2)
+                per_file(w, recon[i, :len(w)], codes[:, i, :len(w) // hop],
+                         want_quality=i < 2)
+            done[0] += len(items)
+
+        for bi, batch in enumerate(loader):
+            if args.max_batches is not None and bi >= args.max_batches * args.batch_size:
+                break
+            w = np.asarray(batch["wav"])[0]
+            audio_seconds += len(w) / sr
+            plen = -(-len(w) // quantum) * quantum
+            bucket = pending.setdefault(plen, [])
+            bucket.append(w)
+            if len(bucket) == args.batch_size:
+                flush(plen)
+        for plen in sorted(pending):
+            flush(plen)
+    else:
+        for bi, batch in enumerate(loader):
+            if args.max_batches is not None and bi >= args.max_batches:
+                break
+            wav = jnp.asarray(batch["wav"])
+            audio_seconds += wav.shape[0] * wav.shape[1] / sr
+            out = eval_step(params, wav)
+            agg["si_snr"].append(float(out["si_snr"]))
+            agg["si_sdr"].append(float(out["si_sdr"]))
+            codes = np.asarray(out["codes"]).reshape(-1)
+            usage.update(codes.tolist())
+            n_frames_total += codes.size
+            gt = np.asarray(batch["wav"])
+            gen = np.asarray(out["gen"])[:, 0]
+            for j in range(min(len(gt), 2)):
+                s = M.stoi(gt[j], gen[j], sr)
+                if np.isfinite(s):
+                    agg["stoi"].append(s)
+                pq = M.pesq_metric(gt[j], gen[j], sr)
+                if pq is not None:
+                    agg["pesq"].append(pq)
+                else:
+                    pa = M.pesq_approx(gt[j], gen[j], sr)
+                    if np.isfinite(pa):
+                        agg["pesq_approx"].append(pa)
+            while saved_examples < args.num_examples and saved_examples < len(gt):
+                i = saved_examples
+                write_wav(out_dir / f"example_{i}_gt.wav", gt[i], sr)
+                write_wav(out_dir / f"example_{i}_recon.wav", gen[i], sr)
+                _save_spectrogram_png(out_dir / f"example_{i}_spec.png", gt[i], gen[i], sr)
+                saved_examples += 1
+            if bi % 20 == 0:
+                print(f"batch {bi}: si_snr={agg['si_snr'][-1]:.2f}", flush=True)
 
     norm_ppl, raw_ppl = calculate_perplexity(usage, cfg.model.codec_decoder.codebook_size)
     dt = time.time() - t0

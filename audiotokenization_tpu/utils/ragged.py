@@ -1,19 +1,22 @@
-"""Ragged-batch tokenization: many variable-length files in one device call.
+"""Ragged-batch tokenization & reconstruction: variable-length files, one call.
 
 The reference's extract_indices.py forces batch_size=1 (extract_indices.py:397)
-— every utterance is tokenized alone, so corpus extraction never amortizes
-dispatch or fills the MXU's batch dimension. On TPU the idiomatic fix is to
-stack files of similar length into one zero-padded batch and tokenize them
-together. Exactness requires care: tokens must equal the per-file path
-byte for byte, but a longer zero tail changes where the conv stack's
+and its full-length eval runs batch 1 too (config/dataset/default.yaml:17-21)
+— every utterance is processed alone, so corpus jobs never amortize dispatch
+or fill the MXU's batch dimension, and on TPU every unique length would be a
+fresh XLA compile. The idiomatic fix is to stack files of similar length into
+one zero-padded batch. Exactness requires care: outputs must equal the
+per-file path, but a longer zero tail changes where the conv stack's
 LAYER-WISE padding starts (the same bleed effect as the sequence-parallel
 edge case, parallel/sp.py). `_edge_mask` with a per-sample bound vector
 re-zeroes each sample's out-of-range region after every conv, which makes
-the batched computation identical to tokenizing each (hop-padded) file
-alone — asserted exact in tests/test_ragged_batch.py.
+the batched computation identical to processing each (hop-padded) file
+alone — tokens byte-exact, waveforms to fp32 rounding — asserted in
+tests/test_ragged_batch.py.
 
-Restrictions for exactness: bigcodec encoder, unidirectional (or no) RNN —
-trailing zeros then cannot influence earlier frames through the LSTM.
+Restrictions for exactness: bigcodec encoder/decoder, unidirectional (or no)
+RNN (trailing zeros must not influence earlier frames), no antialias
+(Activation1d's replicate-pad filters break the masking argument).
 """
 from __future__ import annotations
 
@@ -27,74 +30,158 @@ from ..models import codec as C
 from ..parallel.sp import _conv_front, _edge_mask
 
 
-def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
-    """Build (params, wavs (B, L) f32 zero-padded, lengths (B,) samples)
-    -> codes (Nq, B, L//hop); frames >= lengths//hop are meaningless
-    (trim per sample). One compile per (B, L) shape — bucket lengths.
-    """
-    e = cfg.model.codec_encoder
-    if e.type != "bigcodec":
-        raise NotImplementedError("ragged batching requires the bigcodec "
-                                  "encoder (conformer attention is global)")
-    if e.use_rnn and e.rnn_bidirectional:
+def _check_exactness(part, name: str):
+    if part.type != "bigcodec":
+        raise NotImplementedError(f"ragged batching requires the bigcodec "
+                                  f"{name} (conformer attention is global)")
+    if part.use_rnn and part.rnn_bidirectional:
         raise NotImplementedError("bidirectional RNN reads the zero tail; "
                                   "ragged batching would not be exact")
-    if e.antialias:
+    if part.antialias:
         # Activation1d's resampling filters use replicate-edge padding, so
         # re-zeroing out-of-range positions does NOT reproduce the per-file
         # computation (measured: up to 7e-3 latent drift in tail frames)
         raise NotImplementedError("antialias configs break the edge-mask "
-                                  "exactness argument; use per-file "
-                                  "extraction (--exact)")
+                                  "exactness argument")
+
+
+def _maybe_pcm16(wavs):
+    if wavs.dtype == jnp.int16:
+        # PCM16 shipped as-is (half the host->device bytes) and converted on
+        # device — int16/32768 is exactly representable in float32, so this
+        # equals audio_io.read_audio's host conversion bit for bit
+        # (data/audio_io.py:42)
+        return wavs.astype(jnp.float32) / 32768.0
+    return wavs
+
+
+def _finish_masked(enc_p, e, lat, lengths, hop):
+    """LSTM + encoder tail over conv-front latents, with the tail-frame mask."""
+    if e.use_rnn:
+        from ..ops.lstm import res_lstm
+
+        lat = res_lstm(lat, enc_p["lstm"], num_layers=e.rnn_num_layers)
+    # zero the tail frames the tail conv would otherwise read
+    lat = _edge_mask(lat, 0, 1, lengths // hop)
+    aa = bigcodec._AA(e.antialias)
+    lat = aa(lat, enc_p["snake_out"])
+    return bigcodec._wn_conv(lat, enc_p["conv_out"],
+                             padding=0 if e.causal else 1, causal=e.causal)
+
+
+def _encode_masked(enc_p, e, wavs, lengths, hop):
+    lat = _conv_front(enc_p, e, wavs[:, None, :], 0, lengths)
+    return _finish_masked(enc_p, e, lat, lengths, hop)
+
+
+def _decode_masked(dec, d, z, frames):
+    """Batched decoder with per-sample frame bounds (frames (B,)).
+
+    Same structure as bigcodec.bigcodec_decode with `_edge_mask` after every
+    spatial op so each sample's computation equals decoding its own exact
+    frame count alone (the per-layer zero padding lands at frames[i], not at
+    the padded batch width). z: (B, C, L) -> (B, 1, L*hop_dec).
+    """
+    aa = bigcodec._AA(d.antialias)
+    x = bigcodec._wn_conv(z, dec["conv_in"], padding=0 if d.causal else 3,
+                          causal=d.causal)
+    x = _edge_mask(x, 0, 1, frames)
+    if d.use_rnn:
+        from ..ops.lstm import res_lstm
+
+        x = res_lstm(x, dec["lstm"], num_layers=d.rnn_num_layers)
+        x = _edge_mask(x, 0, 1, frames)
+    S = 1
+    for i, stride in enumerate(tuple(d.up_ratios)):
+        p = dec["blocks"][i]
+        x = aa(x, p["snake"])
+        x = bigcodec._wn_tconv(
+            x, p["up"], stride=stride,
+            padding=0 if d.causal or stride == 1 else stride // 2 + stride % 2,
+            output_padding=0 if d.causal or stride == 1 else stride % 2,
+            causal=d.causal and stride != 1)
+        S *= stride
+        x = _edge_mask(x, 0, 1, frames * S)
+        for j, dd in enumerate(tuple(d.dilations)):
+            x = bigcodec.residual_unit(x, p["units"][j], dilation=dd,
+                                       causal=d.causal, aa=aa)
+            x = _edge_mask(x, 0, 1, frames * S)
+    x = aa(x, dec["snake_out"])
+    x = bigcodec._wn_conv(x, dec["conv_out"], padding=0 if d.causal else 3,
+                          causal=d.causal)
+    return jnp.tanh(x)
+
+
+def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
+    """Build (params, wavs (B, L) f32|int16 zero-padded, lengths (B,) samples)
+    -> codes (Nq, B, L//hop); frames >= lengths//hop are meaningless
+    (trim per sample). One compile per (B, L) shape — bucket lengths.
+    """
+    e = cfg.model.codec_encoder
+    _check_exactness(e, "encoder")
     if mode not in ("conformant", "high", "fast", "balanced"):
         raise ValueError(f"unknown tokenize mode {mode!r}")
     hop = int(np.prod(e.up_ratios))
 
     @jax.jit
     def run(params, wavs, lengths):
-        if wavs.dtype == jnp.int16:
-            # PCM16 shipped as-is (half the host->device bytes) and converted
-            # on device — int16/32768 is exactly representable in float32, so
-            # this equals audio_io.read_audio's host-side conversion bit for
-            # bit (data/audio_io.py:42)
-            wavs = wavs.astype(jnp.float32) / 32768.0
+        wavs = _maybe_pcm16(wavs)
         enc = params["encoder"]
-
-        def finish_masked(enc_p, lat):
-            """LSTM + tail over conv-front latents, with the tail-frame mask."""
-            if e.use_rnn:
-                from ..ops.lstm import res_lstm
-
-                lat = res_lstm(lat, enc_p["lstm"], num_layers=e.rnn_num_layers)
-            # zero the tail frames the tail conv would otherwise read
-            lat = _edge_mask(lat, 0, 1, lengths // hop)
-            aa = bigcodec._AA(e.antialias)
-            lat = aa(lat, enc_p["snake_out"])
-            return bigcodec._wn_conv(lat, enc_p["conv_out"],
-                                     padding=0 if e.causal else 1,
-                                     causal=e.causal)
-
-        def encode_masked(enc_p, x):
-            lat = _conv_front(enc_p, e, x[:, None, :], 0, lengths)
-            return finish_masked(enc_p, lat)
-
         if mode == "fast":
             enc16 = C._cast_tree(enc, jnp.bfloat16)
-            lat = encode_masked(enc16, wavs.astype(jnp.bfloat16)).astype(jnp.float32)
+            lat = _encode_masked(enc16, e, wavs.astype(jnp.bfloat16), lengths,
+                                 hop).astype(jnp.float32)
         elif mode == "balanced":
             # bf16 conv front, fp32 LSTM/tail/VQ (codec.tokenize semantics)
             enc16 = C._cast_tree(enc, jnp.bfloat16)
             lat = _conv_front(enc16, e, wavs.astype(jnp.bfloat16)[:, None, :],
                               0, lengths).astype(jnp.float32)
             with jax.default_matmul_precision("float32"):
-                lat = finish_masked(enc, lat)
+                lat = _finish_masked(enc, e, lat, lengths, hop)
         else:
             prec = {"conformant": "float32", "high": "tensorfloat32"}[mode]
             with jax.default_matmul_precision(prec):
-                lat = encode_masked(enc, wavs)
+                lat = _encode_masked(enc, e, wavs, lengths, hop)
         with jax.default_matmul_precision("float32"):
             lat = C.semantic_vq_in(params, cfg, lat)
             _, codes, _ = C.quantize(params, cfg, lat, training=False)
         return codes
+
+    return run
+
+
+def make_ragged_codec(cfg: Config):
+    """Batched variable-length RECONSTRUCTION: (params, wavs (B, L) f32|int16,
+    lengths (B,)) -> (recon (B, L*hop_dec/hop), codes (Nq, B, L//hop)).
+
+    The full encode -> VQ -> decode round trip with per-sample masking on
+    both sides: tokens equal the per-file forward exactly, waveforms to fp32
+    rounding. Replaces batch-1 full-length eval (reference
+    config/dataset/default.yaml:17-21) with bucketed batches. Runs at the
+    same precision conventions as codec.forward eval (no forced casts).
+    """
+    e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
+    _check_exactness(e, "encoder")
+    _check_exactness(d, "decoder")
+    if cfg.train.use_semantic and cfg.train.concat_semantic:
+        raise NotImplementedError("concat_semantic needs per-frame teacher "
+                                  "targets; no ragged path")
+    hop = int(np.prod(e.up_ratios))
+
+    @jax.jit
+    def run(params, wavs, lengths):
+        wavs = _maybe_pcm16(wavs)
+        frames = lengths // hop
+        lat = _encode_masked(params["encoder"], e, wavs, lengths, hop)
+        lat = C.semantic_vq_in(params, cfg, lat)
+        zq, codes, _ = C.quantize(params, cfg, lat, training=False)
+        if cfg.train.use_semantic:
+            from ..ops.conv import linear
+
+            zq = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2),
+                                     params["semantic"]["fc_post_a"]), 1, 2)
+        zq = _edge_mask(zq, 0, 1, frames)
+        recon = _decode_masked(params["decoder"], d, zq, frames)
+        return recon[:, 0], codes
 
     return run

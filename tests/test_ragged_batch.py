@@ -86,3 +86,52 @@ def test_ragged_int16_input_matches_float():
     a = np.asarray(tok(params, jnp.asarray(pcm), lens))
     b = np.asarray(tok(params, jnp.asarray(f32), lens))
     np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_codec_roundtrip_matches_per_file():
+    """Batched full-length reconstruction == per-file forward (tokens exact,
+    waveforms to fp32 rounding)."""
+    from audiotokenization_tpu.utils.ragged import make_ragged_codec
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(4), cfg)
+    rng = np.random.RandomState(4)
+    lengths = [730, 400, 1000]
+    wavs = [(rng.randn(T) * 0.1).astype(np.float32) for T in lengths]
+    L = 1000
+    batch = np.zeros((3, L), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+    codec = make_ragged_codec(cfg)
+    recon, codes = codec(params, jnp.asarray(batch),
+                         jnp.asarray(lengths, jnp.int32))
+    recon, codes = np.asarray(recon), np.asarray(codes)
+    for i, w in enumerate(wavs):
+        out = C.forward(params, cfg, {"wav": jnp.asarray(w)[None]})
+        np.testing.assert_array_equal(codes[:, i, :len(w) // 10],
+                                      np.asarray(out.vq_code)[:, 0])
+        np.testing.assert_allclose(recon[i, :len(w)],
+                                   np.asarray(out.gen_wav)[0, 0],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_ragged_codec_causal_config():
+    from audiotokenization_tpu.utils.ragged import make_ragged_codec
+
+    cfg = tiny_config()
+    cfg.model.codec_encoder.causal = True
+    cfg.model.codec_decoder.causal = True
+    params = C.init_codec(jax.random.key(5), cfg)
+    rng = np.random.RandomState(5)
+    w = (rng.randn(500) * 0.1).astype(np.float32)
+    batch = np.zeros((2, 600), np.float32)
+    batch[0, :500] = w
+    codec = make_ragged_codec(cfg)
+    recon, codes = codec(params, jnp.asarray(batch),
+                         jnp.asarray([500, 0], jnp.int32))
+    out = C.forward(params, cfg, {"wav": jnp.asarray(w)[None]})
+    np.testing.assert_array_equal(np.asarray(codes)[:, 0, :50],
+                                  np.asarray(out.vq_code)[:, 0])
+    np.testing.assert_allclose(np.asarray(recon)[0, :500],
+                               np.asarray(out.gen_wav)[0, 0],
+                               rtol=1e-5, atol=1e-6)
