@@ -58,6 +58,11 @@ def main():
     ops = collections.Counter()
     for e in line.events:
         nm = ev_meta[e.metadata_id].name
+        # the outer lax.map while spans the whole body, whose ops are also
+        # on this line — dropping it avoids double counting (its own tuple
+        # carries the (K, B, T) input stack, the signature below)
+        if re.search(r"s32\[\d+,1,32,", nm) or "f32[16,32,16000" in nm:
+            continue
         m = re.match(r"%([a-zA-Z\-_]+)", nm)
         cats[m.group(1) if m else nm.split("(")[0][:30]] += e.duration_ps
         ops[nm] += e.duration_ps
