@@ -51,6 +51,13 @@ def build_argparser():
                    help="'fast' runs the encoder in bf16, 'balanced' keeps the "
                         "LSTM/tail/VQ fp32 (see codec.tokenize); 'conformant' "
                         "is bit-exact vs the torch reference")
+    p.add_argument("--semantic_dir", type=str, default=None,
+                   help="directory of precomputed w2v-bert targets "
+                        "(<fileid>.npy, (1024, Tf) — cli/precompute_semantic"
+                        ".py); required for concat_semantic checkpoints "
+                        "(tokens depend on the teacher). This path "
+                        "tokenizes per file at exact lengths (one compile "
+                        "per unique length)")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="shard each utterance across every attached device "
                         "(parallel/sp.py exact halo+LSTM-relay tokenizer); "
@@ -118,14 +125,14 @@ def main(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, params = load_model(args.save_path)
-    if cfg.train.use_semantic and cfg.train.concat_semantic:
+    sem_dir = Path(args.semantic_dir) if args.semantic_dir else None
+    if cfg.train.use_semantic and cfg.train.concat_semantic and sem_dir is None:
         raise SystemExit(
             "this checkpoint quantizes concat(semantic, latents) "
             "(concat_semantic: true): tokenization needs per-utterance "
             "w2v-bert teacher targets. Precompute them with "
-            "cli/precompute_semantic.py and use codec.tokenize(..., "
-            "semantic_target=...) — no corpus CLI path exists for this "
-            "layout (the reference's extract_indices predates it too).")
+            "cli/precompute_semantic.py and pass --semantic_dir "
+            "(the reference's extract_indices predates this layout).")
     hop = int(np.prod(cfg.model.codec_encoder.up_ratios)) \
         if cfg.model.codec_encoder.type == "bigcodec" else cfg.model.codec_encoder.hop_length
 
@@ -148,6 +155,12 @@ def main(argv=None):
         def tokenize(params, wav):
             return C.tokenize(params, cfg, wav, mode=args.mode)
 
+    if sem_dir is not None:
+        @jax.jit
+        def tokenize_sem(params, wav, sem):
+            return C.tokenize(params, cfg, wav, mode=args.mode,
+                              semantic_target=sem)
+
     # int16 is the reference contract (codebooks <= 32767); large
     # LFQ-style codebooks fall back to int32 to avoid overflow
     dtype = np.int16 if cfg.model.codec_decoder.codebook_size <= 32767 else np.int32
@@ -165,7 +178,7 @@ def main(argv=None):
     # fix, and it is used even at batch_size=1: bucketing via the per-sample
     # edge mask avoids one XLA compile per unique file length.
     enc_cfg = cfg.model.codec_encoder
-    batched = (sp_tok is None and not args.exact
+    batched = (sp_tok is None and not args.exact and sem_dir is None
                and enc_cfg.type == "bigcodec"
                and not enc_cfg.antialias  # masking inexact (utils/ragged.py)
                and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional)
@@ -251,7 +264,16 @@ def main(argv=None):
                 if len(bucket) == args.batch_size:
                     flush(key)
             else:
-                if sp_tok is not None:
+                if sem_dir is not None:
+                    sem = np.load(sem_dir / f"{fileid}.npy").astype(np.float32)
+                    tf = len(wav) // hop
+                    if sem.shape[1] < tf:
+                        sem = np.pad(sem, ((0, 0), (0, tf - sem.shape[1])))
+                    sem = sem[:, :tf]
+                    codes = tokenize_sem(params, jnp.asarray(wav)[None],
+                                         jnp.asarray(sem)[None])
+                    codes = np.asarray(codes)[:, 0]
+                elif sp_tok is not None:
                     codes = np.asarray(sp_tok(params, jnp.asarray(wav)))  # (Nq, T)
                 else:
                     codes = tokenize(params, jnp.asarray(wav)[None])  # (Nq, 1, T)

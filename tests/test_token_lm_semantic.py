@@ -143,3 +143,54 @@ def test_semantic_tokenize_ragged_matches():
     codes = np.asarray(tok(params, jnp.asarray(batch),
                            jnp.asarray([500, 0], jnp.int32)))
     np.testing.assert_array_equal(codes[:, 0], single)
+
+
+def test_extract_cli_concat_semantic_with_semantic_dir(tmp_path):
+    """--semantic_dir enables concat-semantic corpus extraction."""
+    from audiotokenization_tpu.cli.extract_indices import main as extract
+    from audiotokenization_tpu.data.audio_io import write_wav
+    from audiotokenization_tpu.models import codec as C
+    from audiotokenization_tpu.train.checkpoint import CheckpointManager
+    from audiotokenization_tpu.train.state import init_train_state
+
+    cfg = tiny_config()
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = True
+    rng = np.random.RandomState(7)
+    root = tmp_path / "data/LibriSpeech/test-clean/5/9"
+    root.mkdir(parents=True)
+    sem_dir = tmp_path / "sem"
+    sem_dir.mkdir()
+    wavs = {}
+    for i, T in enumerate((700, 440)):
+        fid = f"5-9-{i:04d}"
+        w = (rng.randn(T) * 0.1).astype(np.float32)
+        write_wav(root / f"{fid}.wav", w, 16000)
+        np.save(sem_dir / f"{fid}.npy",
+                rng.randn(1024, -(-T // 10)).astype(np.float16))
+        wavs[fid] = w
+    run_dir = tmp_path / "run"
+    state = init_train_state(jax.random.key(0), cfg)
+    ckpt = CheckpointManager(str(run_dir), cfg)
+    ckpt.save(state, metric=1.0)
+    ckpt.wait()
+
+    extract(["--dataset_root", str(tmp_path / "data"), "--save_path",
+             str(run_dir), "--dataset_path", "LibriSpeech", "--ext_audio",
+             ".wav", "--subsets", "test-clean",
+             "--semantic_dir", str(sem_dir)])
+    # cross-check against library tokenize with the same targets
+    from audiotokenization_tpu.cli.extract_indices import load_model
+    cfg2, params = load_model(str(run_dir))
+    for fid, w in wavs.items():
+        wp = np.pad(w, (0, (10 - len(w) % 10) % 10))
+        sem = np.load(sem_dir / f"{fid}.npy").astype(np.float32)[:, :len(wp) // 10]
+        ref = np.asarray(C.tokenize(params, cfg2, jnp.asarray(wp)[None],
+                                    semantic_target=jnp.asarray(sem)[None]))[0, 0]
+        got = np.load(run_dir / "extracted_indices/test-clean/5/9" / f"{fid}.npy")
+        np.testing.assert_array_equal(got, ref)
+    # without --semantic_dir it must fail fast
+    with pytest.raises(SystemExit):
+        extract(["--dataset_root", str(tmp_path / "data"), "--save_path",
+                 str(run_dir), "--dataset_path", "LibriSpeech", "--ext_audio",
+                 ".wav", "--subsets", "test-clean"])
