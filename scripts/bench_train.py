@@ -32,9 +32,10 @@ def main():
     from audiotokenization_tpu.train.step import jit_train_step
 
     variants = [("bf16", True), ("bf16", False), ("fp32", True), ("fp32", False)]
-    if len(sys.argv) > 1:  # e.g. bench_train.py bf16:False
+    if len(sys.argv) > 1:  # e.g. bench_train.py bf16:False [batch]
         p, r = sys.argv[1].split(":")
         variants = [(p, r == "True")]
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     results = {}
     for precision, remat in variants:
@@ -48,7 +49,6 @@ def main():
             # pattern is donation-safe and the ~2.6 GB of param+opt buffers
             # otherwise double-buffer and understate what fits in HBM
             step = jit_train_step(cfg, donate=True)
-            B = 32
             wav = jnp.asarray(
                 np.random.RandomState(0).randn(B, 16000).astype(np.float32) * 0.1)
             batch = {"wav": wav}
@@ -71,9 +71,9 @@ def main():
             del state, state2, s
         except Exception as e:
             results[name] = {"error": str(e).split("\n")[0][:200]}
-        print(json.dumps({"metric": "train_step", "batch": 32, name: results[name]}),
+        print(json.dumps({"metric": "train_step", "batch": B, name: results[name]}),
               flush=True)
-    print(json.dumps({"metric": "train_step_summary", "batch": 32, **results}))
+    print(json.dumps({"metric": "train_step_summary", "batch": B, **results}))
 
 
 if __name__ == "__main__":
