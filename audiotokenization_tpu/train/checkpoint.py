@@ -30,6 +30,14 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True),
         )
+        # the reference keeps top-1-on-mel AND last (train.py:21-23): the
+        # rolling manager above would delete the best step once max_to_keep
+        # newer saves land, so the best lives in its own 1-deep manager
+        self.best_mngr = ocp.CheckpointManager(
+            self.directory / "ckpt_best",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True, enable_async_checkpointing=True),
+        )
         self.best_metric = None
         self.best_step = None
         best_file = self.directory / "best.json"
@@ -44,11 +52,13 @@ class CheckpointManager:
         if metric is not None and (self.best_metric is None or metric < self.best_metric):
             self.best_metric = float(metric)
             self.best_step = step
+            self.best_mngr.save(step, args=ocp.args.StandardSave(state))
             (self.directory / "best.json").write_text(
                 json.dumps({"metric": self.best_metric, "step": step}))
 
     def wait(self):
         self.mngr.wait_until_finished()
+        self.best_mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()
@@ -70,9 +80,15 @@ def load_checkpoint_params(directory, *, step: Optional[int] = None,
     """
     directory = Path(directory).resolve()
     cfg = load_config(directory / "config.json")
-    if best and (directory / "best.json").exists():
-        step = json.loads((directory / "best.json").read_text())["step"]
-    mngr = ocp.CheckpointManager(directory / "ckpt")
+    ckpt_dir = directory / "ckpt"
+    if best:
+        if (directory / "ckpt_best").exists():
+            ckpt_dir = directory / "ckpt_best"
+        elif (directory / "best.json").exists():
+            # older runs without the dedicated best manager: the step may
+            # have rolled out of the max_to_keep window
+            step = json.loads((directory / "best.json").read_text())["step"]
+    mngr = ocp.CheckpointManager(ckpt_dir)
     step = step if step is not None else mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")

@@ -87,3 +87,34 @@ def test_validation_metrics(corpus):
                          max_batches=1)
     assert "val_si_snr" in res and "val_codebook_perplexity" in res
     assert np.isfinite(res["val_si_snr"])
+
+
+def test_best_checkpoint_survives_rolling_window(tmp_path):
+    """top-1-on-metric must survive max_to_keep newer saves (the reference's
+    ModelCheckpoint keeps best + last, train.py:21-23)."""
+    import jax
+    import numpy as np
+    from audiotokenization_tpu.train.checkpoint import (CheckpointManager,
+                                                        load_checkpoint_params)
+    from audiotokenization_tpu.train.state import init_train_state
+    from test_train_step import tiny_config
+
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(0), cfg)
+    mngr = CheckpointManager(str(tmp_path), cfg, max_to_keep=2)
+    import jax.numpy as jnp
+    best_alpha = None
+    for step, metric in [(1, 5.0), (2, 1.0), (3, 7.0), (4, 8.0), (5, 9.0)]:
+        # distinct params per step so the restored tree identifies the step
+        gen = jax.tree.map(lambda t: t + float(step), state.gen_params)
+        state = (state.replace(step=step, gen_params=gen)
+                 if hasattr(state, "replace")
+                 else state._replace(step=step, gen_params=gen))
+        if step == 2:
+            best_alpha = np.asarray(jax.tree.leaves(gen)[0]).copy()
+        mngr.save(state, metric=metric)
+    mngr.wait()
+    # steps 1-3 rolled out of the main window; best (step 2) must restore
+    cfg2, gen = load_checkpoint_params(tmp_path, best=True)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(gen)[0]),
+                                  best_alpha)
