@@ -56,8 +56,8 @@ def build_argparser():
                         "(<fileid>.npy, (1024, Tf) — cli/precompute_semantic"
                         ".py); required for concat_semantic checkpoints "
                         "(tokens depend on the teacher). This path "
-                        "tokenizes per file at exact lengths (one compile "
-                        "per unique length)")
+                        "tokenizes per file (hop-padded unless --exact; "
+                        "one compile per unique length)")
     p.add_argument("--sequence_parallel", action="store_true",
                    help="shard each utterance across every attached device "
                         "(parallel/sp.py exact halo+LSTM-relay tokenizer); "
@@ -139,6 +139,10 @@ def main(argv=None):
     out_dir = Path(args.save_path) / args.output_folder
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.sequence_parallel and sem_dir is not None:
+        print("note: --semantic_dir has no sequence-parallel path (the "
+              "teacher target is per-frame); ignoring --sequence_parallel")
+        args.sequence_parallel = False
     if args.sequence_parallel:
         from ..parallel.mesh import make_data_mesh
         from ..parallel.sp import make_sp_tokenizer

@@ -80,22 +80,6 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     # tee stdout to <out_dir>/log.txt (reference: inference_full.py:828-842)
-    class _Tee:
-        def __init__(self, stream, path):
-            self._s = stream
-            self._f = open(path, "a")
-
-        def write(self, data):
-            self._s.write(data)
-            self._f.write(data)
-
-        def flush(self):
-            self._s.flush()
-            self._f.flush()
-
-    import sys as _sys
-
-    _sys.stdout = _Tee(_sys.stdout, out_dir / "log.txt")
     sys.stdout = Tee(out_dir / "log.txt")
 
     cfg, params = load_model(args.save_path)
@@ -148,12 +132,11 @@ def main(argv=None):
     t0 = time.time()
     audio_seconds = 0.0
 
-    def per_file(gt_i, gen_i, codes_i, want_quality: bool):
+    def per_file(gt_i, gen_i, codes_i, want_quality: bool,
+                 si_snr_i: float, si_sdr_i: float):
         nonlocal saved_examples, n_frames_total
-        agg["si_snr"].append(float(M.si_snr(jnp.asarray(gen_i)[None],
-                                            jnp.asarray(gt_i)[None])))
-        agg["si_sdr"].append(float(M.si_sdr(jnp.asarray(gen_i)[None],
-                                            jnp.asarray(gt_i)[None])))
+        agg["si_snr"].append(si_snr_i)
+        agg["si_sdr"].append(si_sdr_i)
         flat = codes_i.reshape(-1)
         usage.update(flat.tolist())
         n_frames_total += flat.size
@@ -179,7 +162,14 @@ def main(argv=None):
     if ragged_codec is not None:
         quantum = max(sr // hop * hop, hop)
         pending: dict = {}
-        done = [0]
+        done = [0, 0]  # files, device batches
+
+        @jax.jit
+        def batch_si(gt, gen, lens):
+            # per-sample metrics in ONE device call (per-file eager metric
+            # dispatch costs ~40 ms/round-trip on remote-attached chips)
+            return (M.masked_si(gen, gt, lens, zero_mean=True),
+                    M.masked_si(gen, gt, lens, zero_mean=False))
 
         def flush(plen):
             items = pending.pop(plen, None)
@@ -190,18 +180,26 @@ def main(argv=None):
             for i, w in enumerate(items):
                 wavs[i, :len(w)] = w
                 lens[i] = len(w)
-            recon, codes = ragged_codec(params, jnp.asarray(wavs),
-                                        jnp.asarray(lens))
+            wavs_d, lens_d = jnp.asarray(wavs), jnp.asarray(lens)
+            recon, codes = ragged_codec(params, wavs_d, lens_d)
+            snr, sdr = batch_si(wavs_d, recon, lens_d)
             recon, codes = np.asarray(recon), np.asarray(codes)
+            snr, sdr = np.asarray(snr), np.asarray(sdr)
             for i, w in enumerate(items):
                 # STOI/PESQ are slow CPU metrics: first 2 files per batch,
                 # mirroring the non-ragged path's min(len(gt), 2)
                 per_file(w, recon[i, :len(w)], codes[:, i, :len(w) // hop],
-                         want_quality=i < 2)
+                         want_quality=i < 2,
+                         si_snr_i=float(snr[i]), si_sdr_i=float(sdr[i]))
             done[0] += len(items)
+            done[1] += 1
+            if done[1] % 5 == 0:
+                print(f"batch {done[1]}: files={done[0]} "
+                      f"si_snr={agg['si_snr'][-1]:.2f}", flush=True)
 
-        for bi, batch in enumerate(loader):
-            if args.max_batches is not None and bi >= args.max_batches * args.batch_size:
+        for batch in loader:
+            # --max_batches means DEVICE batches in both paths
+            if args.max_batches is not None and done[1] >= args.max_batches:
                 break
             w = np.asarray(batch["wav"])[0]
             audio_seconds += len(w) / sr
@@ -210,8 +208,9 @@ def main(argv=None):
             bucket.append(w)
             if len(bucket) == args.batch_size:
                 flush(plen)
-        for plen in sorted(pending):
-            flush(plen)
+        if args.max_batches is None or done[1] < args.max_batches:
+            for plen in sorted(pending):
+                flush(plen)
     else:
         for bi, batch in enumerate(loader):
             if args.max_batches is not None and bi >= args.max_batches:

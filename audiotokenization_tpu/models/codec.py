@@ -219,6 +219,15 @@ def semantic_vq_in(params, cfg: Config, latents, semantic_target=None):
                 "(cli/precompute_semantic.py)")
         from .semantic import semantic_bottleneck
 
+        # align the teacher to the encoder's frame count (the encoder's
+        # strided convs ceil-round some lengths; semantic_forward pads/trims
+        # the same way, lightning_module.py:236-238)
+        Tf = latents.shape[-1]
+        if semantic_target.shape[-1] < Tf:
+            semantic_target = jnp.pad(
+                semantic_target,
+                ((0, 0), (0, 0), (0, Tf - semantic_target.shape[-1])))
+        semantic_target = semantic_target[:, :, :Tf]
         sem = semantic_bottleneck(sem_p["encoder"],
                                   jax.lax.stop_gradient(semantic_target))
         latents = jnp.concatenate([sem, latents], axis=1)

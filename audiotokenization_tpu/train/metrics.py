@@ -48,6 +48,30 @@ def si_snr(est, target):
     return si_sdr(est, target, zero_mean=True)
 
 
+def masked_si(est, target, lengths, *, zero_mean: bool):
+    """Per-sample SI-SDR/SI-SNR over zero-padded ragged batches.
+
+    est/target: (B, L) with garbage/zeros beyond lengths (B,). Means and
+    sums run over the valid region only, so each row equals the metric on
+    its trimmed pair (the batched full-length eval path). Returns (B,).
+    """
+    est = est.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mask = (jnp.arange(est.shape[-1])[None] < lengths[:, None]).astype(jnp.float32)
+    n = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
+    est = est * mask
+    target = target * mask
+    if zero_mean:
+        est = (est - jnp.sum(est, -1, keepdims=True) / n) * mask
+        target = (target - jnp.sum(target, -1, keepdims=True) / n) * mask
+    alpha = (jnp.sum(est * target, -1, keepdims=True) + _EPS) / (
+        jnp.sum(target * target, -1, keepdims=True) + _EPS)
+    s_target = alpha * target
+    noise = (est - s_target) * mask
+    ratio = (jnp.sum(s_target ** 2, -1) + _EPS) / (jnp.sum(noise ** 2, -1) + _EPS)
+    return 10.0 * jnp.log10(ratio)
+
+
 # ---------------------------------------------------------------------------
 # Codebook statistics (distributed-reducible accumulators)
 # ---------------------------------------------------------------------------

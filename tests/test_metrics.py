@@ -99,3 +99,28 @@ def test_pesq_approx_behavior():
     s2[f > 3000] = 0
     lp = pesq_approx(clean, np.fft.irfft(s2, n))
     assert lp < top - 0.5
+
+
+def test_masked_si_equals_trimmed():
+    """Per-sample masked SI-SNR/SI-SDR over a padded batch == the plain
+    metric on each trimmed pair."""
+    from audiotokenization_tpu.train.metrics import masked_si, si_sdr, si_snr
+
+    rng = np.random.RandomState(0)
+    lens = [900, 500, 1000]
+    gt = np.zeros((3, 1000), np.float32)
+    gen = rng.randn(3, 1000).astype(np.float32)  # garbage beyond lens is fine
+    for i, L in enumerate(lens):
+        gt[i, :L] = rng.randn(L) * 0.3
+        gen[i, :L] = gt[i, :L] + rng.randn(L).astype(np.float32) * 0.05
+    snr = np.asarray(masked_si(jnp.asarray(gen), jnp.asarray(gt),
+                               jnp.asarray(lens, jnp.int32), zero_mean=True))
+    sdr = np.asarray(masked_si(jnp.asarray(gen), jnp.asarray(gt),
+                               jnp.asarray(lens, jnp.int32), zero_mean=False))
+    for i, L in enumerate(lens):
+        ref_snr = float(si_snr(jnp.asarray(gen[i, :L])[None],
+                               jnp.asarray(gt[i, :L])[None]))
+        ref_sdr = float(si_sdr(jnp.asarray(gen[i, :L])[None],
+                               jnp.asarray(gt[i, :L])[None]))
+        np.testing.assert_allclose(snr[i], ref_snr, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(sdr[i], ref_sdr, rtol=1e-4, atol=1e-4)
