@@ -82,8 +82,14 @@ def load_checkpoint_params(directory, *, step: Optional[int] = None,
     cfg = load_config(directory / "config.json")
     ckpt_dir = directory / "ckpt"
     if best:
-        if (directory / "ckpt_best").exists():
-            ckpt_dir = directory / "ckpt_best"
+        # Orbax creates ckpt_best/ eagerly at manager construction, so the
+        # directory existing does NOT mean a best save landed — check for an
+        # actual step before preferring it (else a resumed old run or a
+        # metric-less final save would shadow the fallbacks with an empty dir)
+        best_dir = directory / "ckpt_best"
+        if best_dir.exists() and \
+                ocp.CheckpointManager(best_dir).latest_step() is not None:
+            ckpt_dir = best_dir
         elif (directory / "best.json").exists():
             # older runs without the dedicated best manager: the step may
             # have rolled out of the max_to_keep window

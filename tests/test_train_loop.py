@@ -118,3 +118,26 @@ def test_best_checkpoint_survives_rolling_window(tmp_path):
     cfg2, gen = load_checkpoint_params(tmp_path, best=True)
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(gen)[0]),
                                   best_alpha)
+
+
+def test_best_restore_falls_back_when_no_best_saved(tmp_path):
+    """Metric-less saves never populate ckpt_best; best=True must fall back
+    to the latest checkpoint instead of reading the empty directory."""
+    import jax
+    import numpy as np
+    from audiotokenization_tpu.train.checkpoint import (CheckpointManager,
+                                                        load_checkpoint_params)
+    from audiotokenization_tpu.train.state import init_train_state
+    from test_train_step import tiny_config
+
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(1), cfg)
+    mngr = CheckpointManager(str(tmp_path), cfg)
+    state = state._replace(step=1)
+    mngr.save(state)  # no metric -> ckpt_best stays empty
+    mngr.wait()
+    assert (tmp_path / "ckpt_best").exists()  # eagerly created by orbax
+    cfg2, gen = load_checkpoint_params(tmp_path, best=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(gen)[0]),
+        np.asarray(jax.tree.leaves(state.gen_params)[0]))
