@@ -9,6 +9,11 @@ Reference capability map (SURVEY.md §2.4, vendored lucidrains library):
 - ResidualFSQ / ResidualLFQ / GroupedResidualVQ (residual_*.py): residual
   stacking and channel-grouped application of any base quantizer — here
   expressed as generic combinators over quantizer apply functions.
+- NSVQ (beyond the reference; PAPERS.md "Mitigating Codebook Collapse by
+  Stabilizing Encoder Drift", arXiv 2606.11363): noise-substitution
+  quantization — the straight-through estimator is replaced by
+  z + ||z - z_q|| * eps/||eps||, whose gradient reaches BOTH the encoder
+  and the codebook (through the error norm) with no commitment loss.
 """
 from __future__ import annotations
 
@@ -111,3 +116,40 @@ def grouped_quantize(apply_fns: Sequence[Callable], x):
     idx = jnp.stack([o[1] for o in outs])
     loss = jnp.stack([jnp.mean(o[2]) for o in outs])
     return q, idx, loss
+
+
+# ---------------------------------------------------------------------------
+# NSVQ (noise-substitution vector quantization)
+# ---------------------------------------------------------------------------
+
+def init_nsvq(key, *, codebook_size: int, dim: int):
+    return {"codebook": jax.random.normal(key, (codebook_size, dim))}
+
+
+def nsvq_apply(params, x, *, rng=None, training: bool = False):
+    """x: (B, D, T) -> (quantized (B, D, T), indices (B, T), loss (B,)).
+
+    Training: the hard-quantized vector is substituted by
+    z + ||z - z_q|| * eps/||eps|| (eps ~ N(0, I)); the substitution is
+    differentiable in both z and z_q (via the error norm), so the codebook
+    learns from the task loss directly and no commit/codebook loss is
+    needed (loss returns zeros). Eval: plain nearest-codebook lookup.
+    """
+    B, D, T = x.shape
+    flat = jnp.swapaxes(x, 1, 2).reshape(-1, D).astype(jnp.float32)
+    cb = params["codebook"]
+    dist = (jnp.sum(flat * flat, 1, keepdims=True) - 2 * flat @ cb.T
+            + jnp.sum(cb * cb, 1)[None])
+    indices = jnp.argmin(dist, axis=1)
+    zq = jnp.take(cb, indices, axis=0)
+    if training:
+        if rng is None:
+            raise ValueError("nsvq_apply(training=True) needs rng")
+        eps = jax.random.normal(rng, flat.shape, flat.dtype)
+        err = jnp.linalg.norm(flat - zq, axis=-1, keepdims=True)
+        unit = eps / jnp.linalg.norm(eps, axis=-1, keepdims=True).clip(1e-12)
+        out = flat + err * unit
+    else:
+        out = zq
+    out = jnp.swapaxes(out.reshape(B, T, D), 1, 2).astype(x.dtype)
+    return out, indices.reshape(B, T), jnp.zeros((B,), jnp.float32)

@@ -474,3 +474,34 @@ def test_ema_vq_eval_parity_vs_reference():
     np.testing.assert_array_equal(np.asarray(res.indices), idx_ref.numpy())
     np.testing.assert_allclose(np.asarray(res.quantized).swapaxes(1, 2),
                                q_ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_nsvq_gradients_reach_codebook_and_encoder():
+    """NSVQ (PAPERS.md, noise substitution): differentiable in both inputs
+    with no STE; eval is plain nearest-codebook."""
+    from audiotokenization_tpu.models.quantizers.misc import (init_nsvq,
+                                                              nsvq_apply)
+
+    params = init_nsvq(jax.random.key(0), codebook_size=16, dim=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 32).astype(np.float32))
+
+    def loss(p, x):
+        out, _, _ = nsvq_apply(p, x, rng=jax.random.key(1), training=True)
+        return jnp.mean(jnp.square(out - 0.5))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    assert float(jnp.abs(gp["codebook"]).sum()) > 0  # codebook learns
+    assert float(jnp.abs(gx).sum()) > 0              # encoder learns
+    # eval: substituted noise gone, output is the nearest codebook vector
+    out, idx, l = nsvq_apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :, 0],
+        np.asarray(params["codebook"])[int(idx[0, 0])], rtol=1e-6)
+    assert float(l.sum()) == 0.0
+    # substitution preserves the quantization error magnitude per vector
+    out_t, _, _ = nsvq_apply(params, x, rng=jax.random.key(2), training=True)
+    flat = np.swapaxes(np.asarray(x), 1, 2).reshape(-1, 4)
+    hard = np.swapaxes(np.asarray(out), 1, 2).reshape(-1, 4)
+    sub = np.swapaxes(np.asarray(out_t), 1, 2).reshape(-1, 4)
+    np.testing.assert_allclose(np.linalg.norm(sub - flat, axis=1),
+                               np.linalg.norm(hard - flat, axis=1), rtol=1e-4)
