@@ -140,3 +140,25 @@ def test_sp_reset_mode_high_agreement():
                                                make_data_mesh(), lstm="reset"))
     assert sp.shape == full.shape
     assert (sp == full).mean() > 0.9
+
+
+def test_sp_reset_mode_conformer():
+    """reset mode covers the conformer encoder (windowed approximation)."""
+    cfg = tiny_config()
+    e = cfg.model.codec_encoder
+    e.type = "conformer_stft"
+    e.hop_length = 10
+    e.n_fft = 40
+    e.window_size = 40
+    e.dim = 16
+    e.n_layers = 1
+    e.n_head = 2
+    e.out_channels = 32
+    params = C.init_codec(jax.random.key(9), cfg)
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(8 * 400) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    sp = np.asarray(tokenize_sequence_parallel(params, cfg, wav,
+                                               make_data_mesh(), lstm="reset"))
+    assert sp.shape == full.shape
+    assert (sp == full).mean() > 0.7  # attention is global; halo approximation
