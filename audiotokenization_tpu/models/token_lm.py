@@ -13,6 +13,7 @@ stop_gradient inside the same jitted step.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -78,27 +79,37 @@ def token_lm_loss(params, lm_cfg: TokenLMConfig, indices):
     return loss
 
 
+@functools.partial(jax.jit, static_argnames=("lm_cfg", "batch_size", "length",
+                                              "temperature"))
 def token_lm_generate(params, lm_cfg: TokenLMConfig, *, batch_size: int,
                       length: int, key, temperature: float = 1.0):
-    """Autoregressive sampling from BOS for `length` tokens (greedy at temp=0)."""
-    tokens = jnp.full((batch_size, 1), lm_cfg.bos_token_id, jnp.int32)
+    """Autoregressive sampling from BOS for `length` tokens (greedy at temp=0).
 
-    def body(carry, _):
-        tokens, key = carry
-        logits = token_lm_apply(params, lm_cfg, tokens)[:, -1]
+    One jitted fixed-shape program: a (B, length+1) buffer is filled by a
+    fori_loop whose body runs the causal forward over the whole buffer and
+    writes position t+1 (positions beyond t are BOS filler the causal mask
+    ignores). The earlier grow-the-sequence loop dispatched the transformer
+    EAGERLY with a new shape per token — hundreds of tiny compiles per step,
+    minutes on CPU and pathological through a remote-device tunnel.
+    """
+    buf = jnp.full((batch_size, length + 1), lm_cfg.bos_token_id, jnp.int32)
+
+    def body(t, carry):
+        buf, key = carry
+        logits = token_lm_apply(params, lm_cfg, buf)  # (B, L+1, V)
+        logit_t = jax.lax.dynamic_index_in_dim(logits, t, axis=1,
+                                               keepdims=False)
         key, sub = jax.random.split(key)
         if temperature == 0.0:
-            nxt = jnp.argmax(logits, axis=-1)
+            nxt = jnp.argmax(logit_t, axis=-1)
         else:
-            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
-        return (jnp.concatenate([tokens, nxt[:, None].astype(jnp.int32)], axis=1),
-                key), nxt
+            nxt = jax.random.categorical(sub, logit_t / temperature, axis=-1)
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, nxt.astype(jnp.int32), t + 1, axis=1)
+        return buf, key
 
-    # fixed unrolled loop (shapes grow) — fine for the small eval lengths used
-    carry = (tokens, key)
-    for _ in range(length):
-        carry, _ = body(carry, None)
-    return carry[0][:, 1:]
+    buf, _ = jax.lax.fori_loop(0, length, body, (buf, key))
+    return buf[:, 1:]
 
 
 def init_token_lm(key, lm_cfg: TokenLMConfig) -> Dict[str, Any]:
