@@ -12,13 +12,12 @@ Model sources:
   implementing the *current* encoder/decoder layout the reference CLI
   mismatches — SURVEY.md §3.2).
 
-Shapes & parity: clips whose length is a multiple of the hop (200) produce
-identical tokens whether or not tail padding is applied, because every
-padded conv stage sees the same zero tail. ``--pad_to_hop`` (default on)
-pads inputs up to the next hop multiple and trims the token stream to the
-reference's frame count for that padded length; ``--exact`` disables padding
-entirely and jit-caches per unique length (byte-for-byte the reference
-stream for arbitrary lengths, at higher compile cost).
+Shapes & parity: by default inputs are padded to the next hop multiple and
+tokenized through the ragged-batched path (utils/ragged.py) — per-sample
+edge masks keep every file's tokens byte-identical to processing it alone
+while 1 s buckets bound the XLA compile count; ``--exact`` feeds raw
+lengths per file instead (byte-for-byte the reference stream for arbitrary
+lengths, one compile per unique length).
 """
 from __future__ import annotations
 
