@@ -162,3 +162,18 @@ def test_sp_reset_mode_conformer():
                                                make_data_mesh(), lstm="reset"))
     assert sp.shape == full.shape
     assert (sp == full).mean() > 0.7  # attention is global; halo approximation
+
+
+def test_sp_fast_mode_runs_and_mostly_agrees():
+    """mode='fast' (bf16 front) through the exact-relay machinery."""
+    from audiotokenization_tpu.parallel.sp import make_sp_tokenizer
+
+    cfg = tiny_config()
+    params = C.init_codec(jax.random.key(12), cfg)
+    rng = np.random.RandomState(12)
+    wav = (rng.randn(8 * 400) * 0.1).astype(np.float32)
+    full = _full_tokens(params, cfg, wav)
+    tok = make_sp_tokenizer(cfg, make_data_mesh(), mode="fast")
+    sp = np.asarray(tok(params, wav))
+    assert sp.shape == full.shape
+    assert (sp == full).mean() > 0.9  # bf16 front flips only near-ties
