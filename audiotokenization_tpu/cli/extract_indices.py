@@ -142,6 +142,10 @@ def main(argv=None):
         print("note: --semantic_dir has no sequence-parallel path (the "
               "teacher target is per-frame); ignoring --sequence_parallel")
         args.sequence_parallel = False
+    if args.sequence_parallel and args.exact:
+        print("note: --sequence_parallel zero-pads to its chunk bucket and "
+              "floors to T//hop frames; the --exact length contract does "
+              "not apply on this path")
     if args.sequence_parallel:
         from ..parallel.mesh import make_data_mesh
         from ..parallel.sp import make_sp_tokenizer

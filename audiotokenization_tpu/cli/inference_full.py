@@ -172,9 +172,13 @@ def main(argv=None):
                     M.masked_si(gen, gt, lens, zero_mean=False))
 
         def flush(plen):
+            nonlocal audio_seconds
             items = pending.pop(plen, None)
             if not items:
                 return
+            # accrue coverage per FLUSHED file: files enqueued but never
+            # flushed (early --max_batches stop) must not inflate the summary
+            audio_seconds += sum(len(w) for w in items) / sr
             wavs = np.zeros((args.batch_size, plen), np.float32)
             lens = np.zeros((args.batch_size,), np.int32)
             for i, w in enumerate(items):
@@ -202,15 +206,15 @@ def main(argv=None):
             if args.max_batches is not None and done[1] >= args.max_batches:
                 break
             w = np.asarray(batch["wav"])[0]
-            audio_seconds += len(w) / sr
             plen = -(-len(w) // quantum) * quantum
             bucket = pending.setdefault(plen, [])
             bucket.append(w)
             if len(bucket) == args.batch_size:
                 flush(plen)
-        if args.max_batches is None or done[1] < args.max_batches:
-            for plen in sorted(pending):
-                flush(plen)
+        for plen in sorted(pending):
+            if args.max_batches is not None and done[1] >= args.max_batches:
+                break
+            flush(plen)
     else:
         for bi, batch in enumerate(loader):
             if args.max_batches is not None and bi >= args.max_batches:

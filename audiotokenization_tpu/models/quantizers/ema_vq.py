@@ -44,10 +44,14 @@ def init_ema_vq(key, *, codebook_size: int, dim: int, kmeans_init: bool = False,
         embed = _l2norm(embed)
     if kmeans_init:
         embed = jnp.zeros((codebook_size, dim))
+    # CosineSimCodebook inits cluster_size to ones (vector_quantize_pytorch.py:649)
+    # vs EuclideanCodebook's zeros (:321) — affects from-scratch EMA smoothing
+    # and dead-code-expiry dynamics
+    init_cluster = jnp.ones if use_cosine_sim else jnp.zeros
     state = {
         "embed": embed,
         "embed_avg": embed.copy(),
-        "cluster_size": jnp.zeros((codebook_size,)),
+        "cluster_size": init_cluster((codebook_size,)),
         "initted": jnp.asarray(0.0 if kmeans_init else 1.0),
     }
     if affine_param:

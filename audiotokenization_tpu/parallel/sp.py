@@ -355,6 +355,12 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
     if d.antialias:
         raise NotImplementedError("antialias configs break the edge-mask "
                                   "exactness argument (replicate-pad filters)")
+    if any(s == 1 for s in d.up_ratios):
+        # the offline decoder's stride-1 tconv runs padding=0 (length grows by
+        # K-1), which the halo/q0 index mapping in _decoder_block_sp does not
+        # model — no reference config uses stride-1 up_ratios
+        raise NotImplementedError("sp synthesis does not support stride-1 "
+                                  "decoder up_ratios")
     if mesh is None:
         from .mesh import make_data_mesh
         mesh = make_data_mesh()
