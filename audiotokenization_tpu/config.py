@@ -164,6 +164,14 @@ class TrainConfig:
     use_stft_loss: bool = False
     use_semantic: bool = False
     concat_semantic: bool = True
+    # in-loop SSL teacher (w2v-bert-2.0) architecture knobs: defaults match
+    # facebook/w2v-bert-2.0 (hidden 1024 is fixed — the fc_prior/fc_post_s
+    # dims depend on it); teacher_layer is the tapped hidden state
+    # (lightning_module.py:234: hidden_states[16])
+    teacher_layer: int = 16
+    teacher_layers: int = 24
+    teacher_heads: int = 16
+    teacher_intermediate: int = 4096
     stft_loss_params: STFTParams = field(default_factory=STFTParams)
     gen_optim_params: OptimParams = field(default_factory=OptimParams)
     disc_optim_params: OptimParams = field(default_factory=OptimParams)
@@ -183,6 +191,11 @@ class DatasetSplit:
     shuffle: bool = True
     min_audio_length: int = 16000  # -1 = full length
     log_idxs: Tuple[int, ...] = (0, 1, 2, 3)
+    # host-side STOI/PESQ are computed on the first N items of each val
+    # batch (the reference's torchmetrics update covers the full batch but
+    # runs on GPU-adjacent CPU; here the cap keeps the host out of the
+    # device's way). Raise to batch_size for full-batch parity.
+    quality_metric_items: int = 4
 
 
 @dataclass

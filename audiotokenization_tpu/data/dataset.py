@@ -48,25 +48,28 @@ def read_filelist(path, root: Optional[str] = None) -> list:
 
 def load_clip(path, *, sample_rate: int, min_audio_length: int,
               pad_to_multiple_of: int, train: bool,
-              rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """Load one file and apply the crop/pad policy. Returns float32 (T,)."""
+              rng: Optional[np.random.RandomState] = None,
+              return_start: bool = False):
+    """Load one file and apply the crop/pad policy. Returns float32 (T,)
+    [, the crop's start sample when return_start — needed to align
+    precomputed per-frame targets to a random crop]."""
     wav, sr = read_audio(path)
     wav = wav[0]  # channel 0
     if sr != sample_rate:
         from ..ops.resample import resample
 
         wav = np.asarray(resample(wav, sr, sample_rate))
+    start = 0
     if min_audio_length != -1:
         if len(wav) < min_audio_length:
             wav = np.pad(wav, (0, min_audio_length - len(wav)))
         if train:
             start = int((rng or np.random).randint(0, len(wav) - min_audio_length + 1))
-        else:
-            start = 0
         wav = wav[start:start + min_audio_length]
     if pad_to_multiple_of and len(wav) % pad_to_multiple_of != 0:
         wav = np.pad(wav, (0, pad_to_multiple_of - len(wav) % pad_to_multiple_of))
-    return wav.astype(np.float32)
+    wav = wav.astype(np.float32)
+    return (wav, start) if return_start else wav
 
 
 class AudioDataset:
@@ -74,13 +77,20 @@ class AudioDataset:
 
     semantic_dir: optional directory of precomputed w2v-bert targets
     (<stem>.npy, (1024, Tf) — see cli/precompute_semantic.py); when set,
-    items also carry a "semantic_target" aligned to the clip's frames.
+    items also carry a "semantic_target" aligned to the clip's frames
+    (sliced at the random crop's frame offset, so the target describes the
+    cropped audio).
+
+    compute_feats: emit the w2v-bert teacher's input features from the
+    cropped wav as item key "feats" (nf', 160) — the reference's in-loop
+    SSL path, which runs AutoFeatureExtractor on the ±160-padded crop in
+    the dataloader (data_module.py:124-132).
     """
 
     def __init__(self, split: DatasetSplit, *, sample_rate: int,
                  pad_to_multiple_of: int, root: Optional[str] = None,
                  train: bool = False, semantic_dir: Optional[str] = None,
-                 hop_length: int = 200):
+                 hop_length: int = 200, compute_feats: bool = False):
         self.files = read_filelist(split.filelist, root)
         self.split = split
         self.sample_rate = sample_rate
@@ -88,22 +98,32 @@ class AudioDataset:
         self.train = train
         self.semantic_dir = Path(semantic_dir) if semantic_dir else None
         self.hop_length = hop_length
+        self.compute_feats = compute_feats
 
     def __len__(self):
         return len(self.files)
 
     def get(self, idx: int, rng=None):
-        wav = load_clip(self.files[idx], sample_rate=self.sample_rate,
-                        min_audio_length=self.split.min_audio_length,
-                        pad_to_multiple_of=self.pad_to_multiple_of,
-                        train=self.train, rng=rng)
-        if self.semantic_dir is None:
+        wav, start = load_clip(self.files[idx], sample_rate=self.sample_rate,
+                               min_audio_length=self.split.min_audio_length,
+                               pad_to_multiple_of=self.pad_to_multiple_of,
+                               train=self.train, rng=rng, return_start=True)
+        if self.semantic_dir is None and not self.compute_feats:
             return wav
-        sem = np.load(self.semantic_dir / (Path(self.files[idx]).stem + ".npy"))
-        tf = len(wav) // self.hop_length
-        if sem.shape[1] < tf:
-            sem = np.pad(sem, ((0, 0), (0, tf - sem.shape[1])))
-        return wav, sem[:, :tf].astype(np.float32)
+        item = {"wav": wav}
+        if self.compute_feats:
+            from ..ops.fbank import w2v_bert_features_from_clip
+
+            item["feats"] = w2v_bert_features_from_clip(wav)
+        if self.semantic_dir is not None:
+            sem = np.load(self.semantic_dir / (Path(self.files[idx]).stem + ".npy"))
+            f0 = start // self.hop_length  # align target to the crop offset
+            tf = len(wav) // self.hop_length
+            sem = sem[:, f0:f0 + tf]
+            if sem.shape[1] < tf:
+                sem = np.pad(sem, ((0, 0), (0, tf - sem.shape[1])))
+            item["semantic_target"] = sem.astype(np.float32)
+        return item
 
 
 class DataLoader:
@@ -143,26 +163,38 @@ class DataLoader:
         nb = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
-        rng = np.random.RandomState(hash((self.seed, self.epoch)) % (2 ** 31))
+        # deterministic seed mix independent of PYTHONHASHSEED (hash() is
+        # randomized for str seeds); SeedSequence mixes arbitrary int entropy
+        import zlib
+
+        ent = (self.seed if isinstance(self.seed, (int, np.integer))
+               else zlib.crc32(str(self.seed).encode()))
+        mix = np.random.SeedSequence([int(ent) & 0xFFFFFFFF, self.epoch])
+        rng = np.random.RandomState(mix.generate_state(1)[0] % (2 ** 31))
         seeds = rng.randint(0, 2 ** 31, size=len(indices))
         seed_of = dict(zip(indices.tolist(), seeds.tolist()))
 
         def load_batch(batch_idx):
             items = [self.ds.get(int(i), np.random.RandomState(seed_of[int(i)]))
                      for i in batch_idx]
-            sems = None
-            if isinstance(items[0], tuple):
-                clips = [it[0] for it in items]
-                sems = [it[1] for it in items]
-            else:
-                clips = items
+            if not isinstance(items[0], dict):
+                items = [{"wav": it} for it in items]
+            clips = [it["wav"] for it in items]
             max_len = max(len(c) for c in clips)
             wav = np.zeros((len(clips), max_len), np.float32)
             for j, c in enumerate(clips):
                 wav[j, :len(c)] = c
             batch = {"wav": wav,
                      "lengths": np.asarray([len(c) for c in clips], np.int32)}
-            if sems is not None:
+            if "feats" in items[0]:
+                feats = [it["feats"] for it in items]
+                nf = max(f.shape[0] for f in feats)
+                fb = np.zeros((len(feats), nf, feats[0].shape[1]), np.float32)
+                for j, f in enumerate(feats):
+                    fb[j, :f.shape[0]] = f
+                batch["feats"] = fb
+            if "semantic_target" in items[0]:
+                sems = [it["semantic_target"] for it in items]
                 tf = max(s.shape[1] for s in sems)
                 sem = np.zeros((len(sems), sems[0].shape[0], tf), np.float32)
                 for j, s in enumerate(sems):

@@ -90,6 +90,9 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
                jnp.stack([jnp.mean(res.commit_loss) + res.entropy_aux_loss]))
     else:
         raise ValueError(f"unknown quantizer {q}")
+    # quantizer math runs in its fp32 island; hand the decoder back the
+    # compute dtype (bf16 under mixed precision) at the boundary
+    out = (out[0].astype(latents.dtype),) + out[1:]
     if with_state:
         return out + (qstate,)
     return out
@@ -148,7 +151,13 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
     the first use of each weight.
     """
     if training and cfg.train.precision == "bf16":
+        # fp32 island: quantizer params/state stay fp32 (the reference forces
+        # fp32 inside quantizers, SURVEY.md §2.8; the EMA variants' codebook
+        # statistics are *state* and must not round-trip through bf16)
+        quantizer = params.get("quantizer")
         params = _cast_tree(params, jnp.bfloat16)
+        if quantizer is not None:
+            params = {**params, "quantizer": quantizer}
         batch = _cast_tree(dict(batch), jnp.bfloat16)
     wav = batch["wav"]
     from ..config import resolve_remat

@@ -58,14 +58,18 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
     else:
         # in-loop frozen teacher, like the reference (lightning_module.py:232-238):
         # batch["feats"] are stacked fbank features (B, Tf', 160); the native
-        # JAX w2v-bert (models/w2v_bert.py) produces hidden layer 16
+        # JAX w2v-bert (models/w2v_bert.py) produces hidden layer
+        # cfg.train.teacher_layer (16 = the reference's tap)
         from .w2v_bert import W2vBertConfig, w2v_bert_apply
 
         feats = batch["feats"]
         if feats.ndim == 4:  # reference collate shape (B, 1, Tf', 160)
             feats = feats[:, 0]
-        hidden = w2v_bert_apply(params["w2v_bert"], W2vBertConfig(), feats,
-                                output_layer=16)
+        tc = W2vBertConfig(num_hidden_layers=cfg.train.teacher_layers,
+                           num_attention_heads=cfg.train.teacher_heads,
+                           intermediate_size=cfg.train.teacher_intermediate)
+        hidden = w2v_bert_apply(params["w2v_bert"], tc, feats,
+                                output_layer=cfg.train.teacher_layer)
         target = jnp.swapaxes(hidden, 1, 2)  # (B, 1024, Tf')
         Tf = latents.shape[-1]
         if target.shape[-1] < Tf:
@@ -82,7 +86,8 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
                                           with_state=True)
     sem_recon = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2), sem_p["fc_post_s"]), 1, 2)
     sem_recon = semantic_bottleneck(sem_p["decoder"], sem_recon)
-    sem_loss = jnp.mean(jnp.square(sem_recon - target))
+    # fp32 loss reduction (torch autocast computes mse_loss in fp32)
+    sem_loss = jnp.mean(jnp.square((sem_recon - target).astype(jnp.float32)))
     audio_in = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2), sem_p["fc_post_a"]), 1, 2)
     gen = decode(params, cfg, audio_in)
     wav = batch["wav"]

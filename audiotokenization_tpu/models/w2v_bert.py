@@ -77,11 +77,13 @@ def _attention(x, p, cfg: W2vBertConfig):
     q = linear(h, p["q"]).reshape(B, T, H, D).transpose(0, 2, 1, 3)
     k = linear(h, p["k"]).reshape(B, T, H, D).transpose(0, 2, 1, 3)
     v = linear(h, p["v"]).reshape(B, T, H, D).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(D)
+    scale = 1.0 / float(np.sqrt(D))  # python scalar: no bf16->fp32 promotion
+    scores = jnp.einsum("bhld,bhmd->bhlm", q, k) * scale
     scores = scores + _rel_key_scores(
         q, p["distance_embedding"], left_max=cfg.left_max_position_embeddings,
-        right_max=cfg.right_max_position_embeddings) / np.sqrt(D)
-    probs = jax.nn.softmax(scores, axis=-1)
+        right_max=cfg.right_max_position_embeddings) * scale
+    # fp32 softmax island (torch autocast computes softmax in fp32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhlm,bhmd->bhld", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
     return x + linear(out, p["out"])
@@ -134,6 +136,46 @@ def w2v_bert_apply(params, cfg: W2vBertConfig, features,
 def w2v_bert_project(params, cfg: W2vBertConfig, features):
     norm = _layer_norm(features, params["feat_norm"], cfg.layer_norm_eps)
     return linear(norm, params["feat_proj"]), norm
+
+
+def init_w2v_bert(key, cfg: W2vBertConfig | None = None) -> Dict[str, Any]:
+    """Random-init teacher params (smoke runs / tests; real distillation
+    loads the HF snapshot via load_w2v_bert_teacher)."""
+    cfg = cfg or W2vBertConfig()
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    hd = h // cfg.num_attention_heads
+    n_dist = cfg.left_max_position_embeddings + cfg.right_max_position_embeddings + 1
+    keys = iter(jax.random.split(key, 16 * cfg.num_hidden_layers + 4))
+
+    def lin(n_out, n_in, bias=True):
+        p = {"w": jax.random.normal(next(keys), (n_out, n_in)) * 0.02}
+        if bias:
+            p["b"] = jnp.zeros((n_out,))
+        return p
+
+    def ln(n):
+        return {"w": jnp.ones((n,)), "b": jnp.zeros((n,))}
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append({
+            "ffn1": {"norm": ln(h), "inter": lin(inter, h), "out": lin(h, inter)},
+            "attn": {"norm": ln(h), "q": lin(h, h), "k": lin(h, h),
+                     "v": lin(h, h), "out": lin(h, h),
+                     "distance_embedding":
+                         jax.random.normal(next(keys), (n_dist, hd)) * 0.02},
+            "conv": {"norm": ln(h), "pw1": lin(2 * h, h, bias=False),
+                     "dw": {"w": jax.random.normal(
+                         next(keys), (h, 1, cfg.conv_depthwise_kernel_size)) * 0.02},
+                     "dw_norm": ln(h), "pw2": lin(h, h, bias=False)},
+            "ffn2": {"norm": ln(h), "inter": lin(inter, h), "out": lin(h, inter)},
+            "final_norm": ln(h),
+        })
+    return {
+        "feat_norm": ln(cfg.feature_projection_input_dim),
+        "feat_proj": lin(h, cfg.feature_projection_input_dim),
+        "layers": layers,
+    }
 
 
 def load_w2v_bert_teacher(model_path: str, cfg: W2vBertConfig | None = None):

@@ -24,7 +24,8 @@ class CheckpointManager:
     def __init__(self, directory, cfg: Config, *, max_to_keep: int = 3):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
-        save_config(cfg, self.directory / "config.json")
+        if jax.process_index() == 0:  # plain-file writes race on shared FS
+            save_config(cfg, self.directory / "config.json")
         self.mngr = ocp.CheckpointManager(
             self.directory / "ckpt",
             options=ocp.CheckpointManagerOptions(
@@ -52,9 +53,12 @@ class CheckpointManager:
         if metric is not None and (self.best_metric is None or metric < self.best_metric):
             self.best_metric = float(metric)
             self.best_step = step
+            # every process participates in the Orbax save (it coordinates
+            # multi-host writes itself); only process 0 touches best.json
             self.best_mngr.save(step, args=ocp.args.StandardSave(state))
-            (self.directory / "best.json").write_text(
-                json.dumps({"metric": self.best_metric, "step": step}))
+            if jax.process_index() == 0:
+                (self.directory / "best.json").write_text(
+                    json.dumps({"metric": self.best_metric, "step": step}))
 
     def wait(self):
         self.mngr.wait_until_finished()
@@ -68,6 +72,26 @@ class CheckpointManager:
         if step is None:
             return state
         return self.mngr.restore(step, args=ocp.args.StandardRestore(state))
+
+
+def restore_train_state(directory, state: TrainState, *,
+                        best: bool = False, step: Optional[int] = None) -> TrainState:
+    """Restore a full TrainState from another run directory (the reference's
+    fit(ckpt_path=cfg.resume_ckpt), train.py:39 — resume with optimizer
+    state and step counter intact, possibly into a new run dir)."""
+    directory = Path(directory).resolve()
+    mngr = None
+    if best:
+        best_dir = directory / "ckpt_best"
+        if best_dir.exists() and \
+                ocp.CheckpointManager(best_dir).latest_step() is not None:
+            mngr = ocp.CheckpointManager(best_dir)
+    if mngr is None:
+        mngr = ocp.CheckpointManager(directory / "ckpt")
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    return mngr.restore(step, args=ocp.args.StandardRestore(state))
 
 
 def load_checkpoint_params(directory, *, step: Optional[int] = None,

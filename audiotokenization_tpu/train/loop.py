@@ -25,12 +25,19 @@ from .state import TrainState, init_train_state
 from .step import jit_train_step
 
 
+def _device_batch(batch):
+    """Host batch -> device batch: every key the jitted step consumes
+    (wav + the semantic-branch feats/semantic_target), lengths dropped
+    (fixed-crop phases don't use them)."""
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "lengths"}
+
+
 def make_eval_step(cfg: Config, mesh=None):
     def eval_fn(gen_params, batch):
         out = codec.forward(gen_params, cfg, batch, training=False)
         y = out.gt_wav[:, 0, :]
         y_ = out.gen_wav[:, 0, :]
-        return {
+        res = {
             "si_snr": M.si_snr(y_, y),
             "si_sdr": M.si_sdr(y_, y),
             "codebook_hist": M.codebook_histogram(
@@ -38,6 +45,9 @@ def make_eval_step(cfg: Config, mesh=None):
             "gen_wav": out.gen_wav,
             "gt_wav": out.gt_wav,
         }
+        if out.semantic_recon_loss is not None:
+            res["semantic_recon_loss"] = out.semantic_recon_loss
+        return res
 
     if mesh is None:
         return jax.jit(eval_fn)
@@ -45,44 +55,54 @@ def make_eval_step(cfg: Config, mesh=None):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(eval_fn, in_shardings=(repl, {"wav": data}))
+    return jax.jit(eval_fn, in_shardings=(repl, data))
 
 
 def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
                    compute_stoi: bool = True, max_batches: Optional[int] = None,
                    artifact_dir: Optional[str] = None, step: int = 0,
-                   eval_step=None):
+                   eval_step=None, teacher_params=None):
     """Validation pass. With artifact_dir set, dumps reconstructed audio +
     spectrograms for cfg.dataset.val.log_idxs batches (the wandb
-    audio/spectrogram logging of lightning_module.py:434-447, file-based).
+    audio/spectrogram logging of lightning_module.py:434-447, file-based) —
+    on process 0 only.
 
     Pass a prebuilt eval_step (make_eval_step) when calling repeatedly —
     a fresh closure misses jit's cache and recompiles every validation.
     """
     eval_step = eval_step if eval_step is not None else make_eval_step(cfg, mesh)
-    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
+    if teacher_params is not None:
+        gen_params = {**gen_params, "w2v_bert": teacher_params}
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": [],
+           "semantic_recon_loss": []}
     hist = None
     log_idxs = set(cfg.dataset.val.log_idxs or ())
     for i, batch in enumerate(val_loader):
         if max_batches is not None and i >= max_batches:
             break
-        b = {"wav": jnp.asarray(batch["wav"])}
+        b = _device_batch(batch)
         if mesh is not None:
             b = shard_batch(mesh, b)
         out = eval_step(gen_params, b)
-        if artifact_dir is not None and i in log_idxs:
+        if (artifact_dir is not None and i in log_idxs
+                and jax.process_index() == 0):
             _dump_val_artifacts(artifact_dir, i, step,
                                 np.asarray(out["gt_wav"])[0, 0],
                                 np.asarray(out["gen_wav"])[0, 0],
                                 cfg.dataset.sample_rate)
         agg["si_snr"].append(float(out["si_snr"]))
         agg["si_sdr"].append(float(out["si_sdr"]))
+        if "semantic_recon_loss" in out:
+            agg["semantic_recon_loss"].append(float(out["semantic_recon_loss"]))
         h = np.asarray(out["codebook_hist"])
         hist = h if hist is None else hist + h
         if compute_stoi:
             gt = np.asarray(out["gt_wav"])[:, 0]
             gen = np.asarray(out["gen_wav"])[:, 0]
-            for j in range(min(len(gt), 4)):  # cap host-metric cost
+            # cap host-metric cost: STOI/PESQ on the first N items per batch
+            # (a deviation from the reference's full-batch torchmetrics
+            # update, controlled by cfg.dataset.val.quality_metric_items)
+            for j in range(min(len(gt), cfg.dataset.val.quality_metric_items)):
                 s = M.stoi(gt[j], gen[j], cfg.dataset.sample_rate)
                 if np.isfinite(s):
                     agg["stoi"].append(s)
@@ -95,12 +115,44 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
                     pa = M.pesq_approx(gt[j], gen[j], cfg.dataset.sample_rate)
                     if np.isfinite(pa):
                         agg["pesq_approx"].append(pa)
-    results = {f"val_{k}": float(np.mean(v)) for k, v in agg.items() if v}
-    if hist is not None:
-        hj = jnp.asarray(hist)
+    return _finalize_validation(agg, hist)
+
+
+def _finalize_validation(agg, hist):
+    """(sum, count) reduction of the per-process aggregates, so every process
+    reports identical val metrics on multi-host runs (the sync_dist=True
+    equivalent of lightning_module.py:450)."""
+    keys = sorted(agg)
+    nh = 0 if hist is None else len(hist)
+    local = np.concatenate([
+        np.asarray([np.sum(agg[k]) if agg[k] else 0.0 for k in keys], np.float64),
+        np.asarray([len(agg[k]) for k in keys], np.float64),
+        np.zeros(0, np.float64) if hist is None else np.asarray(hist, np.float64),
+    ])
+    total = reduce_validation_aggregates(local)
+    sums, counts = total[:len(keys)], total[len(keys):2 * len(keys)]
+    results = {f"val_{k}": float(sums[i] / counts[i])
+               for i, k in enumerate(keys) if counts[i] > 0}
+    if nh:
+        hj = jnp.asarray(total[2 * len(keys):])
         results["val_codebook_perplexity"] = float(M.perplexity_from_histogram(hj))
         results["val_codebook_utilization"] = float(M.utilization_from_histogram(hj))
     return results
+
+
+def reduce_validation_aggregates(local: np.ndarray) -> np.ndarray:
+    """Sum a host-resident aggregate vector across processes.
+
+    Single-process: identity. Multi-host: allgather+sum over all processes
+    (each striping the val filelist), so the reported metrics are the global
+    means, identical on every host.
+    """
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(local))).sum(axis=0)
 
 
 def _dump_val_artifacts(artifact_dir, batch_idx, step, gt, gen, sr):
@@ -123,11 +175,25 @@ def _dump_val_artifacts(artifact_dir, batch_idx, step, gt, gen, sr):
 def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
           use_mesh: bool = True, max_steps: Optional[int] = None,
           logger: Optional[MetricsLogger] = None,
-          profile_steps: Optional[tuple] = None):
+          profile_steps: Optional[tuple] = None,
+          teacher_params=None, test_loader=None,
+          resume_from: Optional[str] = None, resume_best: bool = False):
     """Main entry: loops batches through the jitted step until max_steps.
 
     profile_steps=(start, stop): capture a jax.profiler device trace between
     those steps into <run_dir>/profile (SURVEY.md §5.1 tracing hook).
+
+    teacher_params: frozen w2v-bert params for the in-loop SSL branch
+    (cfg.train.use_semantic without precomputed targets) — replicated into
+    the step, excluded from optimizer and checkpoints.
+
+    test_loader: optional full-length test split; after max_steps the loop
+    runs a final test pass and logs test_* metrics (the reference's
+    trainer.validate -> trainer.test sequence, train.py:40-41).
+
+    resume_from/resume_best: restore a full TrainState from another run dir
+    (fit(ckpt_path=cfg.resume_ckpt), train.py:39) instead of this run dir's
+    implicit latest.
     """
     # DP needs the global batch divisible across devices; fall back to
     # single-device execution (with a note) instead of a sharding error
@@ -141,7 +207,11 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
                   f"divisible by {n_dev} devices; running unsharded")
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
     ckpt = CheckpointManager(run_dir, cfg)
-    if ckpt.latest_step() is not None:
+    if resume_from is not None:
+        from .checkpoint import restore_train_state
+
+        state = restore_train_state(resume_from, state, best=resume_best)
+    elif ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     step_fn = jit_train_step(cfg, mesh, donate=True)
     eval_step = make_eval_step(cfg, mesh) if val_loader is not None else None
@@ -155,12 +225,12 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
         for batch in train_loader:
             if step >= max_steps:
                 break
-            b = {"wav": jnp.asarray(batch["wav"])}
+            b = _device_batch(batch)
             if mesh is not None:
                 b = shard_batch(mesh, b)
             if profile_steps and step == profile_steps[0]:
                 jax.profiler.start_trace(str(run_dir) + "/profile")
-            state, metrics = step_fn(state, b)
+            state, metrics = step_fn(state, b, teacher_params)
             step += 1
             if profile_steps and step == profile_steps[1]:
                 jax.block_until_ready(metrics["gen_loss"])
@@ -180,11 +250,67 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
             if val_loader is not None and step % cfg.train.val_every_n_steps == 0:
                 val = run_validation(cfg, state.gen_params, val_loader, mesh=mesh,
                                      artifact_dir=run_dir, step=step,
-                                     eval_step=eval_step)
+                                     eval_step=eval_step,
+                                     teacher_params=teacher_params)
                 logger.log(val, step)
             if step % cfg.train.checkpoint_every_n_steps == 0 or step == max_steps:
                 mel = metrics.get("mel_loss")
                 ckpt.save(state, metric=float(mel) if mel is not None else None)
     ckpt.save(state)
     ckpt.wait()
+    if test_loader is not None:
+        # post-training test phase (reference: trainer.test, train.py:41 —
+        # full-length batch-1 eval via the ragged round-trip codec)
+        test = run_test(cfg, state.gen_params, test_loader,
+                        teacher_params=teacher_params)
+        logger.log(test, step)
     return state
+
+
+def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
+             max_batches: Optional[int] = None):
+    """Full-length test pass over a batch-1 loader, bucketing files to
+    second-quantum lengths through the ragged round-trip codec
+    (utils/ragged.py) so XLA compiles once per bucket instead of once per
+    file length. Returns test_-prefixed metrics."""
+    from ..utils.ragged import make_ragged_codec
+
+    if cfg.train.use_semantic and cfg.train.concat_semantic:
+        print("[test] concat_semantic quantizes concat(teacher, latents); "
+              "full-length test needs per-file teacher targets — skipping "
+              "(use cli/inference_full with --semantic_dir instead)")
+        return {}
+    if teacher_params is not None:
+        gen_params = {**gen_params, "w2v_bert": teacher_params}
+    sr = cfg.dataset.sample_rate
+    hop = int(np.prod(cfg.model.codec_decoder.up_ratios))
+    quantum = max(sr // hop * hop, hop)
+    ragged = make_ragged_codec(cfg)
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
+    hist = np.zeros(cfg.model.codec_decoder.codebook_size, np.int64)
+    for i, batch in enumerate(test_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        w = np.asarray(batch["wav"])[0]
+        plen = -(-len(w) // quantum) * quantum
+        wav = np.zeros((1, plen), np.float32)
+        wav[0, :len(w)] = w
+        lens = np.asarray([len(w)], np.int32)
+        recon, codes = ragged(gen_params, jnp.asarray(wav), jnp.asarray(lens))
+        gen = np.asarray(recon)[0, :len(w)]
+        codes = np.asarray(codes)[:, 0, :len(w) // hop]
+        np.add.at(hist, codes.reshape(-1), 1)
+        agg["si_snr"].append(float(M.si_snr(gen[None], w[None])))
+        agg["si_sdr"].append(float(M.si_sdr(gen[None], w[None])))
+        s = M.stoi(w, gen, sr)
+        if np.isfinite(s):
+            agg["stoi"].append(s)
+        p = M.pesq_metric(w, gen, sr)
+        if p is not None:
+            agg["pesq"].append(p)
+        else:
+            pa = M.pesq_approx(w, gen, sr)
+            if np.isfinite(pa):
+                agg["pesq_approx"].append(pa)
+    res = _finalize_validation(agg, hist)
+    return {k.replace("val_", "test_"): v for k, v in res.items()}

@@ -93,14 +93,19 @@ def make_train_step(cfg: Config, *, donate: bool = True):
                 jax.tree.map(lambda t: t[n:], outs))
     gen_tx, disc_tx = make_optimizers(cfg)
 
-    def gen_forward(gen_params, batch):
-        out = codec.forward(gen_params, cfg, batch, training=True)
+    def gen_forward(gen_params, batch, teacher):
+        # the frozen SSL teacher rides OUTSIDE gen_params: it takes no
+        # gradient and must not see AdamW weight decay (the reference
+        # freezes it with requires_grad_(False), lightning_module.py:194)
+        fwd_params = gen_params if teacher is None else {**gen_params,
+                                                         "w2v_bert": teacher}
+        out = codec.forward(fwd_params, cfg, batch, training=True)
         sem = out.semantic_recon_loss
         diff = (out.gen_wav, out.vq_loss) + ((sem,) if sem is not None else ())
         aux = (out.vq_code, jax.lax.stop_gradient(out.quantizer_state))
         return diff, aux
 
-    def step_fn(state: TrainState, batch: Dict[str, Any]):
+    def step_fn(state: TrainState, batch: Dict[str, Any], teacher=None):
         if tcfg.precision == "fp32_strict":
             # true fp32 MXU accumulation everywhere (TPU default keeps fp32
             # tensors but runs matmuls in bf16, like torch's TF32-on default)
@@ -112,15 +117,15 @@ def make_train_step(cfg: Config, *, donate: bool = True):
 
             ctx = contextlib.nullcontext()
         with ctx:
-            return _step_body(state, batch)
+            return _step_body(state, batch, teacher)
 
-    def _step_body(state: TrainState, batch: Dict[str, Any]):
+    def _step_body(state: TrainState, batch: Dict[str, Any], teacher):
         y = batch["wav"][:, None, :]
 
         # --- 1. shared generator forward, linearized once
         diff_out, gen_vjp, (vq_code, qstate) = jax.vjp(
-            functools.partial(gen_forward, batch=batch), state.gen_params,
-            has_aux=True)
+            functools.partial(gen_forward, batch=batch, teacher=teacher),
+            state.gen_params, has_aux=True)
         y_ = diff_out[0]
         vq_loss_vec = diff_out[1]
         sem_loss = diff_out[2] if len(diff_out) > 2 else None
@@ -223,6 +228,11 @@ def make_train_step(cfg: Config, *, donate: bool = True):
 def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False):
     """Jit the step; with a mesh, shard the batch over 'data' and replicate state.
 
+    The step signature is (state, batch, teacher=None); `teacher` carries
+    the frozen w2v-bert params for the in-loop SSL path (replicated, never
+    donated, never checkpointed). The batch sharding is a pytree prefix, so
+    any batch keys (wav, feats, semantic_target) shard on dim 0.
+
     donate=True (used by the training loop) donates the input state buffers —
     halves peak param/opt-state memory but invalidates the passed-in state.
     """
@@ -234,9 +244,15 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, {"wav": data}),
+        in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         **donate_kw,
     )
+
+    def call(state, batch, teacher=None):
+        # in_shardings pins 3 positional args; fill the teacher default here
+        return jitted(state, batch, teacher)
+
+    return call

@@ -5,6 +5,9 @@ The reference logs everything through Lightning's WandbLogger
 is an append-only metrics.jsonl next to the run dir (machine-readable,
 dependency-free); wandb attaches automatically when the package + env are
 available.
+
+Multi-host: only process 0 writes (Lightning's rank-zero logging); other
+processes construct a no-op logger so call sites stay unconditional.
 """
 from __future__ import annotations
 
@@ -14,14 +17,27 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 
+def _is_primary() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricsLogger:
     def __init__(self, log_dir, *, project: str = "Audio-Tokenizer",
                  run_name: str = "run", use_wandb: bool = True,
                  wandb_id: Optional[str] = None):
+        self.primary = _is_primary()
+        self.file = None
+        self.wandb = None
+        if not self.primary:
+            return
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.file = open(self.log_dir / "metrics.jsonl", "a")
-        self.wandb = None
         if use_wandb:
             try:
                 import wandb
@@ -32,6 +48,8 @@ class MetricsLogger:
                 self.wandb = None
 
     def log(self, metrics: Dict[str, Any], step: int):
+        if not self.primary:
+            return
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
             try:
@@ -45,6 +63,7 @@ class MetricsLogger:
                            step=int(step))
 
     def close(self):
-        self.file.close()
+        if self.file is not None:
+            self.file.close()
         if self.wandb is not None:
             self.wandb.finish()
