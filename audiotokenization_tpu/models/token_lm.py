@@ -142,6 +142,52 @@ def init_token_lm(key, lm_cfg: TokenLMConfig) -> Dict[str, Any]:
     }
 
 
+def convert_token_lm_from_hf(sd, lm_cfg: TokenLMConfig) -> Dict[str, Any]:
+    """HF LlamaForCausalLM state dict (numpy values) -> token-LM param tree.
+
+    The reference's stage-2 LM IS an HF LlamaForCausalLM
+    (lightning_module.py:543-555); this converter makes its checkpoints (or
+    any same-shape Llama) load into the native implementation. HF's rotary
+    embedding uses the rotate_half layout (pairs (i, i + D/2)); this
+    implementation rotates interleaved pairs (2i, 2i+1), so q/k projection
+    output rows are permuted per head (the GPT-NeoX <-> Llama permutation) —
+    scores and outputs are then bit-identical in exact arithmetic.
+    """
+    import numpy as np
+
+    H, nh = lm_cfg.hidden_size, lm_cfg.num_heads
+    D = H // nh
+    base = np.empty(D, np.int64)
+    base[0::2] = np.arange(D // 2)
+    base[1::2] = np.arange(D // 2) + D // 2
+    perm = (np.arange(nh)[:, None] * D + base[None, :]).reshape(-1)
+
+    def j(k):
+        return jnp.asarray(np.asarray(sd[k]))
+
+    layers = []
+    for i in range(lm_cfg.num_layers):
+        pre = f"model.layers.{i}"
+        layers.append({
+            "attn_norm": j(f"{pre}.input_layernorm.weight"),
+            "q": {"w": j(f"{pre}.self_attn.q_proj.weight")[perm]},
+            "k": {"w": j(f"{pre}.self_attn.k_proj.weight")[perm]},
+            "v": {"w": j(f"{pre}.self_attn.v_proj.weight")},
+            "o": {"w": j(f"{pre}.self_attn.o_proj.weight")},
+            "mlp_norm": j(f"{pre}.post_attention_layernorm.weight"),
+            "gate": {"w": j(f"{pre}.mlp.gate_proj.weight")},
+            "up": {"w": j(f"{pre}.mlp.up_proj.weight")},
+            "down": {"w": j(f"{pre}.mlp.down_proj.weight")},
+        })
+    lm_head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+    return {
+        "embed": j("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": j("model.norm.weight"),
+        "lm_head": {"w": jnp.asarray(np.asarray(lm_head))},
+    }
+
+
 def make_token_lm_train_step(cfg: Config, lm_cfg: TokenLMConfig, codec_params,
                              tx):
     """Jitted step: wav -> frozen tokenize -> LM CE update. Returns (state, logs)."""
