@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--wav2", type=str, required=True)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax/npz ECAPA-TDNN weights")
+    p.add_argument("--torch_checkpoint", type=str, default=None,
+                   help="reference-layout torch state dict (e.g. a UniSpeech "
+                        "SV release) converted via convert_ecapa_from_torch")
     p.add_argument("--smoke", action="store_true",
                    help="allow random-init weights (scores not meaningful)")
     p.add_argument("--feat_type", choices=("fbank", "mfcc"), default="fbank",

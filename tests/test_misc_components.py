@@ -39,29 +39,27 @@ def test_mfcc_matches_torchaudio_formula():
     mel = np.einsum("mf,bft->bmt", fbk, power)
     db = 10 * np.log10(np.maximum(mel, 1e-10))
     db = np.maximum(db, db.max(axis=(-2, -1), keepdims=True) - 80.0)
-    ref = sf.dct(db, type=2, norm="ortho", axis=1)[:, :40]
-    ref = ref - ref.mean(-1, keepdims=True)
+    ref = sf.dct(db, type=2, norm="ortho", axis=1)[:, :40] + 1e-6
     got = np.asarray(mfcc(wav, n_mfcc=40))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
 def test_ssl_weighted_features_and_embed():
-    """SSL frontend: softmax layer weighting + CMN, pluggable into ECAPA."""
+    """SSL frontend: softmax layer weighting (raw features; the instance
+    norm is applied inside ecapa_tdnn_embed, matching get_feat :270)."""
     from audiotokenization_tpu.models.ecapa_tdnn import (extract_features,
                                                          ssl_weighted_features)
 
     rng = np.random.RandomState(1)
     hs = [jnp.asarray(rng.randn(2, 12, 16).astype(np.float32)) for _ in range(3)]
-    # equal logits == plain mean over layers (then CMN)
+    # equal logits == plain mean over layers
     eq = np.asarray(ssl_weighted_features(hs, jnp.zeros((3,))))
     man = np.mean([np.asarray(h) for h in hs], axis=0).swapaxes(1, 2) + 1e-6
-    man = man - man.mean(-1, keepdims=True)
     np.testing.assert_allclose(eq, man, rtol=1e-5, atol=1e-6)
     # extreme logit selects one layer
     one = np.asarray(ssl_weighted_features(hs, jnp.asarray([50.0, 0.0, 0.0])))
     h0 = np.asarray(hs[0]).swapaxes(1, 2) + 1e-6
-    np.testing.assert_allclose(one, h0 - h0.mean(-1, keepdims=True),
-                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(one, h0, rtol=1e-4, atol=1e-4)
     # end-to-end through the ECAPA stem (n_mels == SSL dim)
     params = init_ecapa_tdnn(jax.random.key(0), n_mels=16, channels=32,
                              emb_dim=8)
