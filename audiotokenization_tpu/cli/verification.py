@@ -45,7 +45,18 @@ def main(argv=None):
     from ..ops.resample import resample
 
     n_mels = {"fbank": 80, "mfcc": 40}[args.feat_type]
-    if args.checkpoint:
+    if args.torch_checkpoint:
+        import torch
+
+        from ..models.ecapa_tdnn import convert_ecapa_from_torch
+
+        sd = torch.load(args.torch_checkpoint, map_location="cpu",
+                        weights_only=True)
+        sd = sd.get("model", sd.get("state_dict", sd))
+        params = convert_ecapa_from_torch(
+            {k: v.numpy() for k, v in sd.items()})
+        args.checkpoint = args.torch_checkpoint  # trained-weights marker
+    elif args.checkpoint:
         import orbax.checkpoint as ocp
 
         params = ocp.StandardCheckpointer().restore(Path(args.checkpoint).resolve())
