@@ -80,6 +80,14 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
     for i, batch in enumerate(val_loader):
         if max_batches is not None and i >= max_batches:
             break
+        lens = batch.get("lengths") if isinstance(batch, dict) else None
+        if lens is not None and len(set(np.asarray(lens).tolist())) > 1:
+            # the fixed-crop eval_fn has no masking; zero-padded tails would
+            # silently skew SI-SNR/STOI. Full-length eval goes through the
+            # ragged codec instead (run_test / cli/inference_full).
+            raise ValueError(
+                "run_validation got a ragged batch (unequal lengths); use a "
+                "fixed min_audio_length val split or run_test's ragged path")
         b = _device_batch(batch)
         if mesh is not None:
             b = shard_batch(mesh, b)

@@ -65,12 +65,49 @@ def main():
         if ref_cpu:
             vs_baseline = throughput / (5.0 * ref_cpu)
 
+    # secondary metric: full GAN train-step throughput at the bs32 x 1 s
+    # bf16 sweet spot (BASELINE.json config 5) — reported inside the same
+    # single JSON line so step regressions surface in BENCH_r*.json
+    extra = {}
+    try:
+        extra = _bench_train_step(B=B, SR=SR)
+    except Exception as e:  # never fail the headline metric
+        extra = {"train_step_error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "tokenize_audio_seconds_per_second_per_chip",
         "value": round(throughput, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
+        "extra": extra,
     }))
+
+
+def _bench_train_step(*, B: int, SR: int):
+    import jax
+    import jax.numpy as jnp
+
+    from audiotokenization_tpu.config import Config
+    from audiotokenization_tpu.train.state import init_train_state
+    from audiotokenization_tpu.train.step import jit_train_step
+
+    cfg = Config()  # flagship, precision bf16, remat auto (off at bs32 x 1 s)
+    state = init_train_state(jax.random.key(0), cfg)
+    step = jit_train_step(cfg, donate=False)
+    rng = np.random.RandomState(1)
+    batch = {"wav": jnp.asarray(rng.randn(B, SR).astype(np.float32) * 0.1)}
+    state, metrics = step(state, batch)
+    np.asarray(metrics["gen_loss"])  # compile + warmup
+    N = 5
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, metrics = step(state, batch)
+    np.asarray(metrics["gen_loss"])  # forces the chained steps
+    dt = (time.perf_counter() - t0) / N
+    return {
+        "train_step_seconds_bs32_bf16": round(dt, 4),
+        "train_audio_s_per_s_per_chip": round(B * 1.0 / dt, 2),
+    }
 
 
 if __name__ == "__main__":

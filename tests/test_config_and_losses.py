@@ -89,3 +89,23 @@ def test_checkpoint_best_tracking(tmp_path):
     best = json.loads((tmp_path / "run" / "best.json").read_text())
     assert best["step"] == 2 and best["metric"] == 3.0
     assert mngr.latest_step() == 3
+
+
+def test_base512_grid_config_instantiates():
+    """cfgs/config8-12 base-size grid (out 512, ngf 32, up_ratios [2,4,5,5]
+    => hop 200): config loads, model round-trips a batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiotokenization_tpu.config import load_config
+    from audiotokenization_tpu.models import codec as C
+
+    cfg = load_config("configs/bigcodec_base512.yaml")
+    assert tuple(cfg.model.codec_encoder.up_ratios) == (2, 4, 5, 5)
+    assert int(np.prod(cfg.model.codec_encoder.up_ratios)) == 200
+    params = C.init_codec(jax.random.key(0), cfg)
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 800).astype(np.float32))
+    out = C.forward(params, cfg, {"wav": wav})
+    assert out.gen_wav.shape == (1, 1, 800)
+    assert out.vq_code.shape == (1, 1, 4)
