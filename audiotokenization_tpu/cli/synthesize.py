@@ -41,7 +41,7 @@ def main(argv=None):
 
     from ..data.audio_io import write_wav
     from ..models import codec as C
-    from ..models.token_lm import TokenLMConfig, token_lm_generate
+    from ..models.token_lm import TokenLMConfig, token_lm_generate_kv
     from .extract_indices import load_model
 
     cfg, codec_params = load_model(args.codec_ckpt)
@@ -63,9 +63,11 @@ def main(argv=None):
         restored = mngr.restore(mngr.latest_step())
         lm_params = restored["lm_params"]
         lm_cfg = TokenLMConfig(vocab_size=vocab + 2)
-        tokens = token_lm_generate(lm_params, lm_cfg, batch_size=args.num_samples,
-                                   length=n_frames, key=key,
-                                   temperature=args.temperature)
+        # KV-cached decode: O(L) attention per emitted token
+        tokens = token_lm_generate_kv(lm_params, lm_cfg,
+                                      batch_size=args.num_samples,
+                                      length=n_frames, key=key,
+                                      temperature=args.temperature)
         tokens = jnp.clip(tokens, 0, vocab - 1)  # drop any BOS/EOS samples
 
     if args.sequence_parallel:

@@ -18,6 +18,7 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import Config
@@ -46,6 +47,12 @@ class TokenLMConfig(NamedTuple):
 def token_lm_apply(params, lm_cfg: TokenLMConfig, tokens):
     """tokens: (B, T) int32 -> logits (B, T, vocab)."""
     B, T = tokens.shape
+    if T > lm_cfg.max_position_embeddings:
+        raise ValueError(
+            f"sequence length {T} exceeds max_position_embeddings "
+            f"{lm_cfg.max_position_embeddings} (the reference caps the LM at "
+            f"1024 positions, lightning_module.py:551); shorten crop_seconds "
+            f"or raise TokenLMConfig.max_position_embeddings")
     h = jnp.take(params["embed"], tokens, axis=0)  # (B, T, H)
     head_dim = lm_cfg.hidden_size // lm_cfg.num_heads
     cos, sin = precompute_rope(head_dim, lm_cfg.max_position_embeddings,
@@ -109,6 +116,77 @@ def token_lm_generate(params, lm_cfg: TokenLMConfig, *, batch_size: int,
         return buf, key
 
     buf, _ = jax.lax.fori_loop(0, length, body, (buf, key))
+    return buf[:, 1:]
+
+
+def _rope_at(x, cos, sin, pos):
+    """Rotate (B, H, D) vectors by the tables' row `pos` (interleaved pairs)."""
+    c = jnp.take(cos, pos, axis=0)[None, None, :]
+    s = jnp.take(sin, pos, axis=0)[None, None, :]
+    xf = x.astype(jnp.float32)
+    xe, xo = xf[..., 0::2], xf[..., 1::2]
+    out = jnp.stack([xe * c - xo * s, xe * s + xo * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("lm_cfg", "batch_size", "length",
+                                              "temperature"))
+def token_lm_generate_kv(params, lm_cfg: TokenLMConfig, *, batch_size: int,
+                         length: int, key, temperature: float = 1.0):
+    """KV-cached autoregressive sampling — same distribution as
+    token_lm_generate but O(L) attention per emitted token instead of a full
+    O(L^2) re-forward (the TPU-idiomatic decode loop: fixed-shape caches
+    carried through lax.fori_loop, one MXU-friendly step per token).
+    Greedy decode (temperature=0) matches token_lm_generate token-for-token
+    (tests/test_token_lm_hf_parity.py)."""
+    B = batch_size
+    H, nh = lm_cfg.hidden_size, lm_cfg.num_heads
+    D = H // nh
+    L = length + 1
+    cos, sin = precompute_rope(D, lm_cfg.max_position_embeddings,
+                               lm_cfg.rope_theta)
+    nl = len(params["layers"])
+    k_cache = jnp.zeros((nl, B, nh, L, D))
+    v_cache = jnp.zeros((nl, B, nh, L, D))
+    buf = jnp.full((B, L), lm_cfg.bos_token_id, jnp.int32)
+    scale = 1.0 / float(np.sqrt(D))
+
+    def step(t, carry):
+        buf, k_cache, v_cache, key = carry
+        tok = jax.lax.dynamic_index_in_dim(buf, t, axis=1, keepdims=False)
+        h = jnp.take(params["embed"], tok, axis=0)  # (B, H)
+        for li, layer in enumerate(params["layers"]):
+            x = rms_norm(h, layer["attn_norm"])
+            q = linear(x, layer["q"]).reshape(B, nh, D)
+            k = linear(x, layer["k"]).reshape(B, nh, D)
+            v = linear(x, layer["v"]).reshape(B, nh, D)
+            q = _rope_at(q, cos, sin, t)
+            k = _rope_at(k, cos, sin, t)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k[None, :, :, None, :], (li, 0, 0, t, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v[None, :, :, None, :], (li, 0, 0, t, 0))
+            scores = jnp.einsum("bhd,bhtd->bht", q, k_cache[li]) * scale
+            mask = jnp.arange(L)[None, None, :] <= t
+            scores = jnp.where(mask, scores, -jnp.inf)
+            att = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bht,bhtd->bhd", att, v_cache[li])
+            h = h + linear(out.reshape(B, H), layer["o"])
+            x = rms_norm(h, layer["mlp_norm"])
+            h = h + linear(jax.nn.silu(linear(x, layer["gate"]))
+                           * linear(x, layer["up"]), layer["down"])
+        logits = linear(rms_norm(h, params["norm"]), params["lm_head"])
+        key, sub = jax.random.split(key)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, nxt.astype(jnp.int32), t + 1, axis=1)
+        return buf, k_cache, v_cache, key
+
+    buf, _, _, _ = jax.lax.fori_loop(0, length, step,
+                                     (buf, k_cache, v_cache, key))
     return buf[:, 1:]
 
 

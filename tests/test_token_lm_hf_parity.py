@@ -75,3 +75,21 @@ def test_greedy_continuation_parity(hf_and_native):
         params, lm_cfg, batch_size=1, length=16, key=jax.random.key(0),
         temperature=0.0))
     np.testing.assert_array_equal(got, want)
+
+
+def test_kv_cached_generation_matches_full_reforward(hf_and_native):
+    """token_lm_generate_kv (O(L) per token) == token_lm_generate (full
+    re-forward) greedy, and == HF generate."""
+    hf, lm_cfg, params = hf_and_native
+    import jax
+
+    from audiotokenization_tpu.models.token_lm import (token_lm_generate,
+                                                       token_lm_generate_kv)
+
+    full = np.asarray(token_lm_generate(
+        params, lm_cfg, batch_size=2, length=24, key=jax.random.key(0),
+        temperature=0.0))
+    kv = np.asarray(token_lm_generate_kv(
+        params, lm_cfg, batch_size=2, length=24, key=jax.random.key(0),
+        temperature=0.0))
+    np.testing.assert_array_equal(kv, full)
