@@ -157,6 +157,11 @@ class TrainConfig:
     # it (measured on a 16 GB v5e: bf16 bs32 x 1 s fits remat-free and runs
     # 23% faster — 0.333 vs 0.409 s/step; fp32 at that size OOMs).
     remat: Any = "auto"
+    # shard params + optimizer state over the 'data' mesh axis (ZeRO-3/FSDP
+    # via GSPMD shardings; parallel/mesh.fsdp_state_shardings). Memory knob
+    # for big variants/multi-host runs; numerically equal to replicated DP
+    # (test_train_step_fsdp_matches_replicated).
+    fsdp: bool = False
     seed: int = 1024
     lambdas: Lambdas = field(default_factory=Lambdas)
     use_mel_loss: bool = True

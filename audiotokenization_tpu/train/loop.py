@@ -221,7 +221,7 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
         state = restore_train_state(resume_from, state, best=resume_best)
     elif ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-    step_fn = jit_train_step(cfg, mesh, donate=True)
+    step_fn = jit_train_step(cfg, mesh, donate=True, fsdp=cfg.train.fsdp)
     eval_step = make_eval_step(cfg, mesh) if val_loader is not None else None
     logger = logger or MetricsLogger(run_dir, run_name=cfg.name, use_wandb=False)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps

@@ -225,13 +225,19 @@ def make_train_step(cfg: Config, *, donate: bool = True):
     return step_fn
 
 
-def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False):
+def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False,
+                   fsdp: bool = False, fsdp_min_size: int = 2 ** 14):
     """Jit the step; with a mesh, shard the batch over 'data' and replicate state.
 
     The step signature is (state, batch, teacher=None); `teacher` carries
     the frozen w2v-bert params for the in-loop SSL path (replicated, never
     donated, never checkpointed). The batch sharding is a pytree prefix, so
     any batch keys (wav, feats, semantic_target) shard on dim 0.
+
+    fsdp=True additionally shards params + optimizer state over 'data'
+    (ZeRO-3 style, parallel/mesh.fsdp_state_shardings): weights are
+    all-gathered at use and gradients reduce-scattered by GSPMD, cutting
+    per-chip param/opt memory by ~mesh size. Metrics stay replicated.
 
     donate=True (used by the training loop) donates the input state buffers —
     halves peak param/opt-state memory but invalidates the passed-in state.
@@ -244,10 +250,19 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = repl
+    if fsdp:
+        from ..parallel.mesh import fsdp_state_shardings
+        from .state import init_train_state
+
+        abstract = jax.eval_shape(
+            lambda: init_train_state(jax.random.key(0), cfg))
+        state_sh = fsdp_state_shardings(mesh, abstract,
+                                        min_size=fsdp_min_size)
     jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=((state_sh, repl) if fsdp else (repl, repl)),
         **donate_kw,
     )
 

@@ -119,3 +119,38 @@ def test_train_step_data_parallel_matches_single_device():
     for a, b in zip(jax.tree.leaves(s_single.gen_params)[:10],
                     jax.tree.leaves(s_mesh.gen_params)[:10]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_train_step_fsdp_matches_replicated():
+    """fsdp=True (params + opt state sharded over 'data', ZeRO-3 style) must
+    produce the same losses as the replicated DP step, with large state
+    leaves actually sharded."""
+    from audiotokenization_tpu.parallel.mesh import make_data_mesh, shard_batch
+
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(2), cfg)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(8, 800) * 0.1).astype(np.float32)
+
+    mesh = make_data_mesh()
+    batch = shard_batch(mesh, {"wav": jnp.asarray(wav)})
+    s_dp, m_dp = jit_train_step(cfg, mesh)(state, batch)
+    s_fs, m_fs = jit_train_step(cfg, mesh, fsdp=True, fsdp_min_size=256)(state, batch)
+    for k in ("gen_loss", "disc_loss", "mel_loss", "vq_loss"):
+        np.testing.assert_allclose(float(m_fs[k]), float(m_dp[k]),
+                                   rtol=2e-4, err_msg=k)
+    # the codebook (64x8=512 >= min_size? no — pick a big leaf): find any
+    # leaf whose sharding spans 'data'
+    import jax as _jax
+
+    sharded = [
+        leaf for leaf in _jax.tree.leaves(s_fs.gen_params)
+        if hasattr(leaf, "sharding") and "data" in str(leaf.sharding.spec)
+    ]
+    assert sharded, "no gen_params leaf ended up sharded under fsdp=True"
+    # params must still round-trip numerically vs the replicated result
+    a = _jax.tree.leaves(s_dp.gen_params)
+    b = _jax.tree.leaves(s_fs.gen_params)
+    worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32)
+    assert worst < 5e-5, worst
