@@ -162,6 +162,11 @@ class TrainConfig:
     # for big variants/multi-host runs; numerically equal to replicated DP
     # (test_train_step_fsdp_matches_replicated).
     fsdp: bool = False
+    # non-finite step guard (beyond the reference): when a side's total loss
+    # is NaN/inf, keep that side's params/opt-state instead of applying the
+    # poisoned update (a jnp.where select inside the step — no host sync).
+    # Skipped steps surface as metrics["nonfinite_skipped"].
+    guard_nonfinite: bool = False
     seed: int = 1024
     lambdas: Lambdas = field(default_factory=Lambdas)
     use_mel_loss: bool = True

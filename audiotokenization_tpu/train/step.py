@@ -199,6 +199,26 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             # (discards the optimizer's spurious weight-decay on those leaves).
             gen_params = {**gen_params, "quantizer": qstate}
 
+        metrics = {**disc_logs, **gen_logs}
+        if tcfg.guard_nonfinite:
+            # non-finite step guard (SURVEY §5.2 hardening, beyond the
+            # reference): if either total loss is non-finite, keep the old
+            # params/opt-state for that side instead of poisoning them —
+            # a jnp.where select, no host sync, negligible cost. The
+            # skipped-step count surfaces in the metrics for the logger.
+            def _keep_if(bad, new, old):
+                return jax.tree.map(
+                    lambda n, o: jnp.where(bad, o, n) if hasattr(n, "dtype")
+                    else n, new, old)
+
+            bad_d = ~jnp.isfinite(disc_total)
+            bad_g = ~jnp.isfinite(gen_total)
+            disc_params = _keep_if(bad_d, disc_params, state.disc_params)
+            disc_opt_state = _keep_if(bad_d, disc_opt_state, state.disc_opt_state)
+            gen_params = _keep_if(bad_g, gen_params, state.gen_params)
+            gen_opt_state = _keep_if(bad_g, gen_opt_state, state.gen_opt_state)
+            metrics["nonfinite_skipped"] = (bad_d | bad_g).astype(jnp.float32)
+
         new_state = TrainState(
             step=state.step + 1,
             gen_params=gen_params,
@@ -206,7 +226,6 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             gen_opt_state=gen_opt_state,
             disc_opt_state=disc_opt_state,
         )
-        metrics = {**disc_logs, **gen_logs}
         # LR monitor (reference: LearningRateMonitor, train.py:25)
         from .schedule import warmup_lr_schedule
 

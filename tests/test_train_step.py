@@ -154,3 +154,28 @@ def test_train_step_fsdp_matches_replicated():
     worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32)
     assert worst < 5e-5, worst
+
+
+def test_nonfinite_guard_keeps_params():
+    """guard_nonfinite: a NaN batch must leave params/opt-state untouched
+    and flag the step; a clean batch must train normally."""
+    cfg = tiny_config()
+    cfg.train.guard_nonfinite = True
+    state = init_train_state(jax.random.key(0), cfg)
+    step = jit_train_step(cfg)
+    rng = np.random.RandomState(0)
+    good = {"wav": jnp.asarray((rng.randn(2, 800) * 0.1).astype(np.float32))}
+    bad_wav = np.full((2, 800), np.nan, np.float32)
+    bad = {"wav": jnp.asarray(bad_wav)}
+
+    p0 = jax.tree.leaves(state.gen_params)[0]
+    s_bad, m_bad = step(state, bad)
+    assert float(m_bad["nonfinite_skipped"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(s_bad.gen_params)[0]),
+                                  np.asarray(p0))
+    assert int(s_bad.step) == 1  # the step counter still advances
+
+    s_ok, m_ok = step(state, good)
+    assert float(m_ok["nonfinite_skipped"]) == 0.0
+    assert not np.array_equal(np.asarray(jax.tree.leaves(s_ok.gen_params)[0]),
+                              np.asarray(p0))
