@@ -187,7 +187,6 @@ def main(argv=None):
     enc_cfg = cfg.model.codec_encoder
     batched = (sp_tok is None and not args.exact and sem_dir is None
                and enc_cfg.type == "bigcodec"
-               and not enc_cfg.antialias  # masking inexact (utils/ragged.py)
                and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional)
                and not (cfg.train.use_semantic and cfg.train.concat_semantic))
     if batched:

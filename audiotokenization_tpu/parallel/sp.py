@@ -79,21 +79,27 @@ def _edge_mask(x, start, S, T):
     return x * mask[:, None, :].astype(x.dtype)
 
 
-def _conv_front(enc, e, x, start, T):
+def _conv_front(enc, e, x, start, T, aa_factory=None):
     """BigCodec encoder conv stack only (conv_in + blocks), no LSTM/tail.
 
     Mirrors bigcodec.bigcodec_encode up to the ResLSTM
     (BigCodec_SSL/vq/codec_encoder.py:33-50), with `_edge_mask` after every
     conv so the window computation equals the full-sequence one at the true
     sequence edges. x: (B, 1, Tw) -> (B, C, Tw/hop).
+
+    aa_factory(S) -> Activation1d callable at stride scale S; the default is
+    the plain static `_AA`, which is masking-exact only when antialias is
+    off (snake(0) == 0). The ragged path passes a replicate-tail masked AA
+    (utils/ragged._MaskedAA) so antialias configs stay exact too.
     """
-    aa = bigcodec._AA(e.antialias)
+    aa_factory = aa_factory or (lambda S: bigcodec._AA(e.antialias))
     x = bigcodec._wn_conv(x, enc["conv_in"], padding=0 if e.causal else 3,
                           causal=e.causal)
     S = 1
     x = _edge_mask(x, start, S, T)
     for i, stride in enumerate(e.up_ratios):
         p = enc["blocks"][i]
+        aa = aa_factory(S)
         for j, d in enumerate(tuple(e.dilations)):
             x = bigcodec.residual_unit(x, p["units"][j], dilation=d,
                                        causal=e.causal, aa=aa)

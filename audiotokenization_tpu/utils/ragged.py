@@ -15,8 +15,14 @@ alone — tokens byte-exact, waveforms to fp32 rounding — asserted in
 tests/test_ragged_batch.py.
 
 Restrictions for exactness: bigcodec encoder/decoder, unidirectional (or no)
-RNN (trailing zeros must not influence earlier frames), no antialias
-(Activation1d's replicate-pad filters break the masking argument).
+RNN (trailing zeros must not influence earlier frames). Antialias configs
+(cfgs/config11) ARE exact here via `_MaskedAA`: the per-file computation
+replicate-pads at the clip edge inside every Activation1d resampling filter
+(alias_free_torch/filter.py replicate pad), so plain re-zeroing is wrong at
+the tail; instead the tail is REPLICATED from the last valid position before
+the 2x upsample and again before the 2x downsample (the upsampled signal past
+the valid edge differs from the per-file edge pad), then re-zeroed for the
+following conv's zero-padding argument.
 """
 from __future__ import annotations
 
@@ -37,12 +43,51 @@ def _check_exactness(part, name: str):
     if part.use_rnn and part.rnn_bidirectional:
         raise NotImplementedError("bidirectional RNN reads the zero tail; "
                                   "ragged batching would not be exact")
-    if part.antialias:
-        # Activation1d's resampling filters use replicate-edge padding, so
-        # re-zeroing out-of-range positions does NOT reproduce the per-file
-        # computation (measured: up to 7e-3 latent drift in tail frames)
-        raise NotImplementedError("antialias configs break the edge-mask "
-                                  "exactness argument")
+
+
+def _replicate_tail(x, bound):
+    """Set positions >= bound (per-sample) to the value at bound-1.
+
+    x: (B, C, L); bound: (B,) int. Emulates the per-file replicate-edge
+    padding of Activation1d's resampling filters inside a longer zero-padded
+    batch array: every position past the sample's true edge holds the edge
+    value, exactly what alias_free_torch's `mode='replicate'` pad would
+    supply (and the array-edge pad then replicates the same value).
+    """
+    idx = jnp.minimum(jnp.arange(x.shape[-1])[None, :],
+                      jnp.maximum(bound, 1)[:, None] - 1)  # (B, L)
+    return jnp.take_along_axis(x, idx[:, None, :], axis=2)
+
+
+class _MaskedAA:
+    """Activation1d with per-sample tail handling for ragged exactness.
+
+    antialias=False: plain snake (snake(0) == 0 keeps the zero tail).
+    antialias=True: replicate tail -> 2x upsample -> snake -> replicate the
+    upsampled tail (the interpolation past the edge is NOT constant, but the
+    per-file downsample replicate-pads with the edge VALUE) -> 2x downsample
+    -> re-zero the tail so the next conv sees the per-file zero padding.
+    bound: (B,) valid positions at this stride scale.
+    """
+
+    def __init__(self, antialias: bool, bound):
+        self._aa = bigcodec._AA(antialias)
+        self.antialias = antialias
+        self.bound = bound
+
+    def __call__(self, x, snake_params):
+        if not self.antialias:
+            return self._aa(x, snake_params)
+        from ..ops import snake as SN
+        from ..ops.alias_free import downsample1d, upsample1d
+
+        b = self.bound
+        x = _replicate_tail(x, b)
+        x = upsample1d(x, self._aa.up, 2)
+        x = SN.snake_beta(x, snake_params["alpha"], snake_params["beta"])
+        x = _replicate_tail(x, 2 * b)
+        x = downsample1d(x, self._aa.down, 2)
+        return _edge_mask(x, 0, 1, b)
 
 
 def _maybe_pcm16(wavs):
@@ -55,6 +100,11 @@ def _maybe_pcm16(wavs):
     return wavs
 
 
+def _aa_factory(part, lengths):
+    """aa_factory for _conv_front/_decode_masked: masked AA at scale S."""
+    return lambda S: _MaskedAA(part.antialias, lengths // S)
+
+
 def _finish_masked(enc_p, e, lat, lengths, hop):
     """LSTM + encoder tail over conv-front latents, with the tail-frame mask."""
     if e.use_rnn:
@@ -63,14 +113,15 @@ def _finish_masked(enc_p, e, lat, lengths, hop):
         lat = res_lstm(lat, enc_p["lstm"], num_layers=e.rnn_num_layers)
     # zero the tail frames the tail conv would otherwise read
     lat = _edge_mask(lat, 0, 1, lengths // hop)
-    aa = bigcodec._AA(e.antialias)
+    aa = _MaskedAA(e.antialias, lengths // hop)
     lat = aa(lat, enc_p["snake_out"])
     return bigcodec._wn_conv(lat, enc_p["conv_out"],
                              padding=0 if e.causal else 1, causal=e.causal)
 
 
 def _encode_masked(enc_p, e, wavs, lengths, hop):
-    lat = _conv_front(enc_p, e, wavs[:, None, :], 0, lengths)
+    lat = _conv_front(enc_p, e, wavs[:, None, :], 0, lengths,
+                      aa_factory=_aa_factory(e, lengths))
     return _finish_masked(enc_p, e, lat, lengths, hop)
 
 
@@ -82,7 +133,6 @@ def _decode_masked(dec, d, z, frames):
     frame count alone (the per-layer zero padding lands at frames[i], not at
     the padded batch width). z: (B, C, L) -> (B, 1, L*hop_dec).
     """
-    aa = bigcodec._AA(d.antialias)
     x = bigcodec._wn_conv(z, dec["conv_in"], padding=0 if d.causal else 3,
                           causal=d.causal)
     x = _edge_mask(x, 0, 1, frames)
@@ -94,7 +144,7 @@ def _decode_masked(dec, d, z, frames):
     S = 1
     for i, stride in enumerate(tuple(d.up_ratios)):
         p = dec["blocks"][i]
-        x = aa(x, p["snake"])
+        x = _MaskedAA(d.antialias, frames * S)(x, p["snake"])
         x = bigcodec._wn_tconv(
             x, p["up"], stride=stride,
             padding=0 if d.causal or stride == 1 else stride // 2 + stride % 2,
@@ -102,11 +152,12 @@ def _decode_masked(dec, d, z, frames):
             causal=d.causal and stride != 1)
         S *= stride
         x = _edge_mask(x, 0, 1, frames * S)
+        aa = _MaskedAA(d.antialias, frames * S)
         for j, dd in enumerate(tuple(d.dilations)):
             x = bigcodec.residual_unit(x, p["units"][j], dilation=dd,
                                        causal=d.causal, aa=aa)
             x = _edge_mask(x, 0, 1, frames * S)
-    x = aa(x, dec["snake_out"])
+    x = _MaskedAA(d.antialias, frames * S)(x, dec["snake_out"])
     x = bigcodec._wn_conv(x, dec["conv_out"], padding=0 if d.causal else 3,
                           causal=d.causal)
     return jnp.tanh(x)
@@ -135,7 +186,9 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
             # bf16 conv front, fp32 LSTM/tail/VQ (codec.tokenize semantics)
             enc16 = C._cast_tree(enc, jnp.bfloat16)
             lat = _conv_front(enc16, e, wavs.astype(jnp.bfloat16)[:, None, :],
-                              0, lengths).astype(jnp.float32)
+                              0, lengths,
+                              aa_factory=_aa_factory(e, lengths)
+                              ).astype(jnp.float32)
             with jax.default_matmul_precision("float32"):
                 lat = _finish_masked(enc, e, lat, lengths, hop)
         else:

@@ -135,3 +135,38 @@ def test_ragged_codec_causal_config():
     np.testing.assert_allclose(np.asarray(recon)[0, :500],
                                np.asarray(out.gen_wav)[0, 0],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_ragged_antialias_config_matches_per_file():
+    """Antialias (cfgs/config11) configs are exact under ragged batching:
+    the replicate-tail masked AA (utils/ragged._MaskedAA) reproduces the
+    per-file Activation1d replicate-edge padding inside the padded batch."""
+    from audiotokenization_tpu.utils.ragged import (make_ragged_codec,
+                                                    make_ragged_tokenizer)
+
+    cfg = tiny_config()
+    cfg.model.codec_encoder.antialias = True
+    cfg.model.codec_decoder.antialias = True
+    params = C.init_codec(jax.random.key(6), cfg)
+    rng = np.random.RandomState(6)
+    lengths = [730, 400, 1000, 90]
+    wavs = [(rng.randn(T) * 0.1).astype(np.float32) for T in lengths]
+    batch = np.zeros((4, 1000), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    tok = make_ragged_tokenizer(cfg)
+    codes_t = np.asarray(tok(params, jnp.asarray(batch), lens))
+    codec = make_ragged_codec(cfg)
+    recon, codes = codec(params, jnp.asarray(batch), lens)
+    recon, codes = np.asarray(recon), np.asarray(codes)
+    for i, w in enumerate(wavs):
+        single = np.asarray(C.tokenize(params, cfg, jnp.asarray(w)[None]))[:, 0]
+        np.testing.assert_array_equal(codes_t[:, i, :len(w) // 10], single)
+        out = C.forward(params, cfg, {"wav": jnp.asarray(w)[None]})
+        np.testing.assert_array_equal(codes[:, i, :len(w) // 10],
+                                      np.asarray(out.vq_code)[:, 0])
+        np.testing.assert_allclose(recon[i, :len(w)],
+                                   np.asarray(out.gen_wav)[0, 0],
+                                   rtol=1e-5, atol=1e-6)
