@@ -49,10 +49,15 @@ def read_filelist(path, root: Optional[str] = None) -> list:
 def load_clip(path, *, sample_rate: int, min_audio_length: int,
               pad_to_multiple_of: int, train: bool,
               rng: Optional[np.random.RandomState] = None,
-              return_start: bool = False):
+              return_start: bool = False, crop_multiple: int = 1):
     """Load one file and apply the crop/pad policy. Returns float32 (T,)
     [, the crop's start sample when return_start — needed to align
-    precomputed per-frame targets to a random crop]."""
+    precomputed per-frame targets to a random crop].
+
+    crop_multiple: restrict random crop starts to multiples of this (the
+    frame hop) so precomputed per-frame targets align EXACTLY — an
+    unrestricted start would leave up to hop-1 samples of systematic
+    audio/target shift after flooring start//hop."""
     wav, sr = read_audio(path)
     wav = wav[0]  # channel 0
     if sr != sample_rate:
@@ -64,7 +69,8 @@ def load_clip(path, *, sample_rate: int, min_audio_length: int,
         if len(wav) < min_audio_length:
             wav = np.pad(wav, (0, min_audio_length - len(wav)))
         if train:
-            start = int((rng or np.random).randint(0, len(wav) - min_audio_length + 1))
+            hi = (len(wav) - min_audio_length) // crop_multiple + 1
+            start = int((rng or np.random).randint(0, hi)) * crop_multiple
         wav = wav[start:start + min_audio_length]
     if pad_to_multiple_of and len(wav) % pad_to_multiple_of != 0:
         wav = np.pad(wav, (0, pad_to_multiple_of - len(wav) % pad_to_multiple_of))
@@ -104,10 +110,12 @@ class AudioDataset:
         return len(self.files)
 
     def get(self, idx: int, rng=None):
-        wav, start = load_clip(self.files[idx], sample_rate=self.sample_rate,
-                               min_audio_length=self.split.min_audio_length,
-                               pad_to_multiple_of=self.pad_to_multiple_of,
-                               train=self.train, rng=rng, return_start=True)
+        wav, start = load_clip(
+            self.files[idx], sample_rate=self.sample_rate,
+            min_audio_length=self.split.min_audio_length,
+            pad_to_multiple_of=self.pad_to_multiple_of,
+            train=self.train, rng=rng, return_start=True,
+            crop_multiple=self.hop_length if self.semantic_dir else 1)
         if self.semantic_dir is None and not self.compute_feats:
             return wav
         item = {"wav": wav}

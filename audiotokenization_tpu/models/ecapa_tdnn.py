@@ -148,8 +148,9 @@ def _attentive_stats_pool(p, x, *, global_context_att: bool = False):
     global_context_att. x: (B, C, T) -> (B, 2C)."""
     if global_context_att:
         mean = jnp.broadcast_to(jnp.mean(x, -1, keepdims=True), x.shape)
+        # torch.var defaults to unbiased (ddof=1) — keep checkpoint parity
         std = jnp.broadcast_to(
-            jnp.sqrt(jnp.var(x, -1, keepdims=True) + 1e-10), x.shape)
+            jnp.sqrt(jnp.var(x, -1, keepdims=True, ddof=1) + 1e-10), x.shape)
         x_in = jnp.concatenate([x, mean, std], axis=1)
     else:
         x_in = x

@@ -143,6 +143,12 @@ def token_lm_generate_kv(params, lm_cfg: TokenLMConfig, *, batch_size: int,
     H, nh = lm_cfg.hidden_size, lm_cfg.num_heads
     D = H // nh
     L = length + 1
+    if L > lm_cfg.max_position_embeddings:
+        raise ValueError(
+            f"generation length {length} (+BOS) exceeds "
+            f"max_position_embeddings {lm_cfg.max_position_embeddings}; "
+            f"jnp.take would silently clamp RoPE rows past the table end — "
+            f"shorten the request or raise TokenLMConfig.max_position_embeddings")
     cos, sin = precompute_rope(D, lm_cfg.max_position_embeddings,
                                lm_cfg.rope_theta)
     nl = len(params["layers"])

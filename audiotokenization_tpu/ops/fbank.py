@@ -68,8 +68,12 @@ _WINDOW = None
 
 
 def _tables():
+    # Gate on _WINDOW, which is assigned LAST: DataLoader worker threads call
+    # this concurrently, and a thread that sees _WINDOW set is guaranteed (by
+    # CPython program order under the GIL) to also see _FILTERS. A rare
+    # double-compute while both are still None is idempotent and harmless.
     global _FILTERS, _WINDOW
-    if _FILTERS is None:
+    if _WINDOW is None:
         _FILTERS = kaldi_mel_filters()
         _WINDOW = povey_window()
     return _FILTERS, _WINDOW

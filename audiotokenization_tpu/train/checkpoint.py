@@ -83,15 +83,21 @@ def restore_train_state(directory, state: TrainState, *,
     mngr = None
     if best:
         best_dir = directory / "ckpt_best"
-        if best_dir.exists() and \
-                ocp.CheckpointManager(best_dir).latest_step() is not None:
-            mngr = ocp.CheckpointManager(best_dir)
+        if best_dir.exists():
+            cand = ocp.CheckpointManager(best_dir)
+            if cand.latest_step() is not None:
+                mngr = cand
+            else:
+                cand.close()
     if mngr is None:
         mngr = ocp.CheckpointManager(directory / "ckpt")
-    step = step if step is not None else mngr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoints under {directory}")
-    return mngr.restore(step, args=ocp.args.StandardRestore(state))
+    try:
+        step = step if step is not None else mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        return mngr.restore(step, args=ocp.args.StandardRestore(state))
+    finally:
+        mngr.close()
 
 
 def load_checkpoint_params(directory, *, step: Optional[int] = None,

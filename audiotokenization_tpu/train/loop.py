@@ -32,7 +32,7 @@ def _device_batch(batch):
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "lengths"}
 
 
-def make_eval_step(cfg: Config, mesh=None):
+def make_eval_step(cfg: Config, mesh=None, *, fsdp: bool = False):
     def eval_fn(gen_params, batch):
         out = codec.forward(gen_params, cfg, batch, training=False)
         y = out.gt_wav[:, 0, :]
@@ -55,7 +55,11 @@ def make_eval_step(cfg: Config, mesh=None):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(eval_fn, in_shardings=(repl, data))
+    # fsdp: leave the param shardings unspecified (None = GSPMD propagation)
+    # so ZeRO-3-sharded gen_params are consumed in place — weights gathered
+    # per use — instead of materializing a fully replicated copy per chip
+    # up front, which would spike peak memory exactly when fsdp is needed.
+    return jax.jit(eval_fn, in_shardings=(None if fsdp else repl, data))
 
 
 def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
@@ -123,26 +127,33 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
                     pa = M.pesq_approx(gt[j], gen[j], cfg.dataset.sample_rate)
                     if np.isfinite(pa):
                         agg["pesq_approx"].append(pa)
-    return _finalize_validation(agg, hist)
+    return _finalize_validation(
+        agg, hist, cfg.model.codec_decoder.codebook_size)
 
 
-def _finalize_validation(agg, hist):
+def _finalize_validation(agg, hist, codebook_size):
     """(sum, count) reduction of the per-process aggregates, so every process
     reports identical val metrics on multi-host runs (the sync_dist=True
-    equivalent of lightning_module.py:450)."""
+    equivalent of lightning_module.py:450).
+
+    The local vector's length must NOT depend on how many batches this
+    process saw: a process whose val stripe yields zero batches (hist=None)
+    still has to allgather the same shape as its peers, so the histogram slot
+    is always codebook_size wide (zeros when empty).
+    """
     keys = sorted(agg)
-    nh = 0 if hist is None else len(hist)
     local = np.concatenate([
         np.asarray([np.sum(agg[k]) if agg[k] else 0.0 for k in keys], np.float64),
         np.asarray([len(agg[k]) for k in keys], np.float64),
-        np.zeros(0, np.float64) if hist is None else np.asarray(hist, np.float64),
+        np.zeros(codebook_size, np.float64) if hist is None
+        else np.asarray(hist, np.float64),
     ])
     total = reduce_validation_aggregates(local)
     sums, counts = total[:len(keys)], total[len(keys):2 * len(keys)]
     results = {f"val_{k}": float(sums[i] / counts[i])
                for i, k in enumerate(keys) if counts[i] > 0}
-    if nh:
-        hj = jnp.asarray(total[2 * len(keys):])
+    hj = jnp.asarray(total[2 * len(keys):])
+    if float(jnp.sum(hj)) > 0:
         results["val_codebook_perplexity"] = float(M.perplexity_from_histogram(hj))
         results["val_codebook_utilization"] = float(M.utilization_from_histogram(hj))
     return results
@@ -222,7 +233,8 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     elif ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     step_fn = jit_train_step(cfg, mesh, donate=True, fsdp=cfg.train.fsdp)
-    eval_step = make_eval_step(cfg, mesh) if val_loader is not None else None
+    eval_step = (make_eval_step(cfg, mesh, fsdp=cfg.train.fsdp)
+                 if val_loader is not None else None)
     logger = logger or MetricsLogger(run_dir, run_name=cfg.name, use_wandb=False)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
@@ -320,5 +332,5 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
             pa = M.pesq_approx(w, gen, sr)
             if np.isfinite(pa):
                 agg["pesq_approx"].append(pa)
-    res = _finalize_validation(agg, hist)
+    res = _finalize_validation(agg, hist, cfg.model.codec_decoder.codebook_size)
     return {k.replace("val_", "test_"): v for k, v in res.items()}

@@ -202,17 +202,26 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         metrics = {**disc_logs, **gen_logs}
         if tcfg.guard_nonfinite:
             # non-finite step guard (SURVEY §5.2 hardening, beyond the
-            # reference): if either total loss is non-finite, keep the old
-            # params/opt-state for that side instead of poisoning them —
-            # a jnp.where select, no host sync, negligible cost. The
-            # skipped-step count surfaces in the metrics for the logger.
+            # reference): if either side's total loss OR any gradient leaf is
+            # non-finite, keep the old params/opt-state for that side instead
+            # of poisoning them — a jnp.where select, no host sync. Gradients
+            # must be checked too: a backward-only NaN (e.g. d/dx of a norm at
+            # exactly 0) leaves the loss finite while the update is poisoned.
+            # The skipped-step count surfaces in the metrics for the logger.
             def _keep_if(bad, new, old):
                 return jax.tree.map(
                     lambda n, o: jnp.where(bad, o, n) if hasattr(n, "dtype")
                     else n, new, old)
 
-            bad_d = ~jnp.isfinite(disc_total)
-            bad_g = ~jnp.isfinite(gen_total)
+            def _any_nonfinite(tree):
+                flags = [~jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(tree)
+                         if hasattr(l, "dtype")
+                         and jnp.issubdtype(l.dtype, jnp.floating)]
+                return functools.reduce(jnp.logical_or, flags,
+                                        jnp.asarray(False))
+
+            bad_d = ~jnp.isfinite(disc_total) | _any_nonfinite(disc_grads)
+            bad_g = ~jnp.isfinite(gen_total) | _any_nonfinite(gen_grads)
             disc_params = _keep_if(bad_d, disc_params, state.disc_params)
             disc_opt_state = _keep_if(bad_d, disc_opt_state, state.disc_opt_state)
             gen_params = _keep_if(bad_g, gen_params, state.gen_params)

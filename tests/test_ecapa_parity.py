@@ -116,3 +116,27 @@ def test_cosine_similarity_parity(pair):
         ea / jnp.linalg.norm(ea, axis=-1, keepdims=True)
         * eb / jnp.linalg.norm(eb, axis=-1, keepdims=True), axis=-1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+def test_global_context_att_parity():
+    """global_context_att=True branch (ecapa_tdnn.py:146-149): torch.var is
+    UNBIASED by default — the context_std concat must use ddof=1."""
+    from audiotokenization_tpu.models.ecapa_tdnn import (
+        convert_ecapa_from_torch, ecapa_tdnn_embed)
+
+    mod = _load_ref_ecapa()
+    torch.manual_seed(3)
+    model = mod.ECAPA_TDNN(feat_dim=80, channels=256, emb_dim=192,
+                           global_context_att=True).eval()
+    with torch.no_grad():
+        for name, m in model.named_modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0.0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+    params = convert_ecapa_from_torch(model.state_dict())
+    rng = np.random.RandomState(4)
+    feats = rng.randn(2, 80, 100).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_embed(model, torch.from_numpy(feats)).numpy()
+    got = np.asarray(ecapa_tdnn_embed(params, feats, global_context_att=True))
+    assert got.shape == want.shape == (2, 192)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

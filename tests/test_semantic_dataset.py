@@ -54,7 +54,11 @@ def test_semantic_target_aligned_to_random_crop(tmp_path):
         item = ds.get(0, rng=np.random.RandomState(seed))
         _, start = load_clip(files[0], sample_rate=16000, min_audio_length=500,
                              pad_to_multiple_of=HOP, train=True,
-                             rng=np.random.RandomState(seed), return_start=True)
+                             rng=np.random.RandomState(seed), return_start=True,
+                             crop_multiple=HOP)
+        # semantic crops snap to hop multiples so targets align EXACTLY
+        # (an unrestricted start would shift audio vs target by up to hop-1)
+        assert start % HOP == 0
         f0 = start // HOP
         tf = len(item["wav"]) // HOP
         np.testing.assert_array_equal(item["semantic_target"][0],

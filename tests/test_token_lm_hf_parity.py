@@ -93,3 +93,20 @@ def test_kv_cached_generation_matches_full_reforward(hf_and_native):
         params, lm_cfg, batch_size=2, length=24, key=jax.random.key(0),
         temperature=0.0))
     np.testing.assert_array_equal(kv, full)
+
+
+def test_kv_generation_rejects_overlong_requests(hf_and_native):
+    """length+BOS past max_position_embeddings must fail loudly at trace
+    time (jnp.take would otherwise silently clamp RoPE rows and degrade
+    samples) — same contract as token_lm_apply's length check."""
+    import jax
+    import pytest
+
+    from audiotokenization_tpu.models.token_lm import token_lm_generate_kv
+
+    _, lm_cfg, params = hf_and_native
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        token_lm_generate_kv(
+            params, lm_cfg, batch_size=1,
+            length=lm_cfg.max_position_embeddings, key=jax.random.key(0),
+            temperature=0.0)

@@ -274,3 +274,33 @@ def test_validation_aggregates_reduce_across_fake_processes(corpus, monkeypatch)
     for k in res_full:
         np.testing.assert_allclose(res_p0[k], res_full[k], rtol=1e-5,
                                    err_msg=k)
+
+
+def test_finalize_validation_vector_length_is_process_independent():
+    """Multi-host allgather contract: a process whose val stripe yields ZERO
+    batches (hist=None) must contribute a local vector of the same length as
+    its peers, or process_allgather crashes/hangs mid-validation."""
+    import audiotokenization_tpu.train.loop as L
+
+    K = 16
+    lengths = {}
+
+    def capture(tag):
+        def f(vec):
+            lengths[tag] = len(vec)
+            return vec
+        return f
+
+    keys = ["pesq", "pesq_approx", "semantic_recon_loss", "si_sdr", "si_snr",
+            "stoi"]
+    empty = {k: [] for k in keys}
+    full = {k: [1.0] for k in keys}
+    L.reduce_validation_aggregates, orig = capture(0), L.reduce_validation_aggregates
+    try:
+        L._finalize_validation(empty, None, K)
+        L.reduce_validation_aggregates = capture(1)
+        res = L._finalize_validation(full, np.ones(K, np.int64), K)
+    finally:
+        L.reduce_validation_aggregates = orig
+    assert lengths[0] == lengths[1]
+    assert "val_codebook_perplexity" in res

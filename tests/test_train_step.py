@@ -179,3 +179,29 @@ def test_nonfinite_guard_keeps_params():
     assert float(m_ok["nonfinite_skipped"]) == 0.0
     assert not np.array_equal(np.asarray(jax.tree.leaves(s_ok.gen_params)[0]),
                               np.asarray(p0))
+
+
+def test_fsdp_eval_step_consumes_sharded_params():
+    """make_eval_step(fsdp=True) must accept ZeRO-3-sharded gen_params as-is
+    (GSPMD propagation) instead of pinning replicated in_shardings, which
+    would materialize a full per-chip param copy at every validation."""
+    from audiotokenization_tpu.parallel.mesh import make_data_mesh, shard_batch
+    from audiotokenization_tpu.train.loop import make_eval_step
+
+    cfg = tiny_config()
+    state = init_train_state(jax.random.key(2), cfg)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(8, 800) * 0.1).astype(np.float32)
+    mesh = make_data_mesh()
+    batch = shard_batch(mesh, {"wav": jnp.asarray(wav)})
+    s_fs, _ = jit_train_step(cfg, mesh, fsdp=True, fsdp_min_size=256)(state, batch)
+    assert any("data" in str(l.sharding.spec)
+               for l in jax.tree.leaves(s_fs.gen_params)
+               if hasattr(l, "sharding"))
+
+    out_fs = make_eval_step(cfg, mesh, fsdp=True)(s_fs.gen_params, batch)
+    # replicated-eval oracle on gathered params
+    gathered = jax.device_get(s_fs.gen_params)
+    out_repl = make_eval_step(cfg, mesh)(gathered, batch)
+    np.testing.assert_allclose(float(out_fs["si_snr"]),
+                               float(out_repl["si_snr"]), rtol=1e-4)
