@@ -60,6 +60,13 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--num_examples", type=int, default=10)
     p.add_argument("--output_folder", type=str, default="inference_full")
+    p.add_argument("--w2v_bert_path", type=str, default=None,
+                   help="local facebook/w2v-bert-2.0 snapshot dir — needed to "
+                        "evaluate use_semantic checkpoints (the teacher "
+                        "features feed fc_prior / the concat branch)")
+    p.add_argument("--w2v_bert_init", choices=["pretrained", "random"],
+                   default="pretrained",
+                   help="random: seeded random teacher (smoke/tests only)")
     args = p.parse_args(argv)
 
     import jax
@@ -98,19 +105,6 @@ def main(argv=None):
         batch_size=args.batch_size if dur else 1,
         shuffle=False,
         min_audio_length=int(dur * sr) if dur else -1)
-    ds = AudioDataset(split, sample_rate=sr, pad_to_multiple_of=hop,
-                      root=args.dataset_root, train=False)
-    loader = DataLoader(ds, batch_size=split.batch_size, shuffle=False,
-                        drop_last=False, num_workers=8)
-
-    @jax.jit
-    def eval_step(params, wav):
-        out = C.forward(params, cfg, {"wav": wav}, training=False)
-        y, y_ = out.gt_wav[:, 0], out.gen_wav[:, 0]
-        return {
-            "gen": out.gen_wav, "codes": out.vq_code,
-            "si_snr": M.si_snr(y_, y), "si_sdr": M.si_sdr(y_, y),
-        }
 
     # full-length eval: bucketed ragged batches instead of the reference's
     # batch-1 full-length policy (one compile per unique length). Exact
@@ -124,6 +118,36 @@ def main(argv=None):
         except NotImplementedError as exc:
             print(f"note: ragged full-length batching unavailable ({exc}); "
                   "running batch-1")
+
+    # use_semantic checkpoints need the frozen teacher at eval time
+    # (lightning_module.py:240-255: fc_prior consumes teacher-derived input):
+    # the crop / batch-1 paths feed dataset-computed feats through
+    # codec.forward; the ragged concat path computes per-file targets via the
+    # masked teacher (train/loop._make_test_teacher)
+    teacher_fwd = None
+    if cfg.train.use_semantic:
+        from .train import _build_teacher
+
+        params = {**params, "w2v_bert": _build_teacher(cfg, args)}
+        if cfg.train.concat_semantic and ragged_codec is not None:
+            from ..train.loop import _make_test_teacher
+
+            teacher_fwd = _make_test_teacher(cfg)
+    compute_feats = cfg.train.use_semantic and ragged_codec is None
+    ds = AudioDataset(split, sample_rate=sr, pad_to_multiple_of=hop,
+                      root=args.dataset_root, train=False,
+                      compute_feats=compute_feats, hop_length=hop)
+    loader = DataLoader(ds, batch_size=split.batch_size, shuffle=False,
+                        drop_last=False, num_workers=8)
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = C.forward(params, cfg, batch, training=False)
+        y, y_ = out.gt_wav[:, 0], out.gen_wav[:, 0]
+        return {
+            "gen": out.gen_wav, "codes": out.vq_code,
+            "si_snr": M.si_snr(y_, y), "si_sdr": M.si_sdr(y_, y),
+        }
 
     usage = Counter()
     agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
@@ -185,7 +209,16 @@ def main(argv=None):
                 wavs[i, :len(w)] = w
                 lens[i] = len(w)
             wavs_d, lens_d = jnp.asarray(wavs), jnp.asarray(lens)
-            recon, codes = ragged_codec(params, wavs_d, lens_d)
+            sem_t = None
+            if teacher_fwd is not None:
+                rows = [np.asarray(teacher_fwd(params["w2v_bert"], w, plen, hop))
+                        for w in items]
+                sem_t = np.zeros((args.batch_size, rows[0].shape[1],
+                                  plen // hop), np.float32)
+                for i, r in enumerate(rows):
+                    sem_t[i] = r[0]
+                sem_t = jnp.asarray(sem_t)
+            recon, codes = ragged_codec(params, wavs_d, lens_d, sem_t)
             snr, sdr = batch_si(wavs_d, recon, lens_d)
             recon, codes = np.asarray(recon), np.asarray(codes)
             snr, sdr = np.asarray(snr), np.asarray(sdr)
@@ -221,7 +254,10 @@ def main(argv=None):
                 break
             wav = jnp.asarray(batch["wav"])
             audio_seconds += wav.shape[0] * wav.shape[1] / sr
-            out = eval_step(params, wav)
+            dev_batch = {"wav": wav}
+            if compute_feats:
+                dev_batch["feats"] = jnp.asarray(batch["feats"])
+            out = eval_step(params, dev_batch)
             agg["si_snr"].append(float(out["si_snr"]))
             agg["si_sdr"].append(float(out["si_sdr"]))
             codes = np.asarray(out["codes"]).reshape(-1)

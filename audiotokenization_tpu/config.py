@@ -192,6 +192,19 @@ class TrainConfig:
     val_every_n_steps: int = 5000
     checkpoint_every_n_steps: int = 10000
     log_every_n_steps: int = 50
+    # validation batches run once at fit start before training (the
+    # reference's num_sanity_val_steps: 4, config/train/default.yaml:9) so a
+    # broken eval path crashes at step 0, not at step val_every_n_steps;
+    # metrics are discarded (a sanity_val_ok marker lands in the JSONL)
+    num_sanity_val_steps: int = 4
+    # accumulate generator AND discriminator gradients over N micro-batches
+    # per optimizer step (reference trainer surface:
+    # accumulate_grad_batches, cfgs/config2/train/default.yaml:10). The
+    # loader still yields the full effective batch; the step scans it in N
+    # slices, so activation memory scales with batch_size // N — the honest
+    # path to effective bs64 on a 16 GB chip (BASELINE.md: bs64 remat-off
+    # fails to compile). N=1 is the fused single-pass step.
+    accumulate_grad_batches: int = 1
 
 
 @dataclass
@@ -252,7 +265,10 @@ def resolve_remat(cfg) -> bool:
     crop = cfg.dataset.train.min_audio_length
     if crop is None or crop < 0:
         crop = cfg.dataset.sample_rate  # full-length: assume >= 1 s clips
-    work = cfg.dataset.train.batch_size * crop
+    # grad accumulation scans micro-batches, so live activations scale with
+    # the MICRO batch, not the effective batch
+    n_acc = max(int(cfg.train.accumulate_grad_batches), 1)
+    work = cfg.dataset.train.batch_size * crop // n_acc
     return not (cfg.train.precision == "bf16" and work <= 32 * 16000)
 
 

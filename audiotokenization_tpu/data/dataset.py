@@ -160,6 +160,18 @@ class DataLoader:
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.process_count > 1:
+            # torch DistributedSampler semantics (the reference's DDP loader,
+            # data_module.py via Lightning): pad the global list by repeating
+            # from the front until it divides evenly, so EVERY process yields
+            # the same number of batches. Unequal stripes would deadlock a
+            # collectively-compiled train/eval step — the short-striped
+            # process stops invoking the program while its peers wait in a
+            # collective (see run_validation).
+            per = -(-len(idx) // self.process_count)
+            total = per * self.process_count
+            if total > len(idx):
+                idx = np.concatenate([idx, idx[:total - len(idx)]])
         return idx[self.process_index::self.process_count]
 
     def __len__(self):

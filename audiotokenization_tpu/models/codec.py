@@ -51,7 +51,7 @@ def encode(params, cfg: Config, wav, *, remat: bool = False):
 
 
 def quantize(params, cfg: Config, latents, *, training: bool = False,
-             with_state: bool = False):
+             with_state: bool = False, step=None):
     """latents (B, C, Tf) -> (quantized (B, C, Tf), codes (Nq, B, Tf), loss (Nq,))
     [, updated quantizer state when with_state=True].
 
@@ -60,6 +60,12 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
     ema_vq / lfq selections expose the quantizer-zoo members as drop-in codec
     quantizers; EMA codebook statistics are state, returned separately and
     swapped into gen_params by the train step after the optimizer update.
+
+    step: the training step counter (traced scalar), used to salt the EMA
+    quantizer's PRNG so kmeans-init / dead-code-expiry sampling is fresh
+    every step — the reference's expiry sampling draws fresh randomness per
+    call (vector_quantize_pytorch.py:474-484). Falls back to a data-derived
+    salt when no step is threaded (non-training callers don't consume rng).
     """
     d = cfg.model.codec_decoder
     q = "fsq" if d.fsq else d.quantizer
@@ -74,7 +80,10 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
     elif q == "ema_vq":
         from .quantizers.ema_vq import ema_vq_apply
 
-        salt = jnp.sum((latents[:, 0, 0] * 1e3).astype(jnp.int32) % 7919)
+        if step is not None:
+            salt = jnp.asarray(step).astype(jnp.int32).reshape(())
+        else:
+            salt = jnp.sum((latents[:, 0, 0] * 1e3).astype(jnp.int32) % 7919)
         rng = jax.random.fold_in(jax.random.key(0), salt)
         res = ema_vq_apply(params["quantizer"], latents, training=training,
                            commitment=d.vq_commit_weight, rng=rng,
@@ -140,7 +149,8 @@ def _cast_tree(tree, dtype):
         tree)
 
 
-def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = False):
+def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = False,
+            step=None):
     """Full forward (lightning_module.py:225-278), without the semantic branch.
 
     Mixed precision: with cfg.train.precision == 'bf16' (the reference trains
@@ -167,9 +177,10 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
     if cfg.train.use_semantic:
         from .semantic import semantic_forward
 
-        return semantic_forward(params, cfg, batch, latents, training=training)
+        return semantic_forward(params, cfg, batch, latents, training=training,
+                                step=step)
     zq, codes, vq_loss, qstate = quantize(params, cfg, latents, training=training,
-                                          with_state=True)
+                                          with_state=True, step=step)
     gen = decode(params, cfg, zq, remat=remat)
     return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
                        vq_code=codes, quantizer_state=qstate)

@@ -49,7 +49,7 @@ def semantic_bottleneck(params, x):
 
 
 def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
-                     *, training: bool = False):
+                     *, training: bool = False, step=None):
     from .codec import CodecOutput, decode, quantize
 
     sem_p = params["semantic"]
@@ -83,7 +83,7 @@ def semantic_forward(params, cfg: Config, batch: Dict[str, Any], latents,
         vq_in = latents
     vq_in = jnp.swapaxes(linear(jnp.swapaxes(vq_in, 1, 2), sem_p["fc_prior"]), 1, 2)
     zq, codes, vq_loss, qstate = quantize(params, cfg, vq_in, training=training,
-                                          with_state=True)
+                                          with_state=True, step=step)
     sem_recon = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2), sem_p["fc_post_s"]), 1, 2)
     sem_recon = semantic_bottleneck(sem_p["decoder"], sem_recon)
     # fp32 loss reduction (torch autocast computes mse_loss in fp32)

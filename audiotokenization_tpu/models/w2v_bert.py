@@ -69,7 +69,7 @@ def _rel_key_scores(q, distance_embedding, *, left_max: int, right_max: int):
     return jnp.einsum("bhld,lrd->bhlr", q, pos_emb)
 
 
-def _attention(x, p, cfg: W2vBertConfig):
+def _attention(x, p, cfg: W2vBertConfig, valid_frames=None):
     B, T, C = x.shape
     H = cfg.num_attention_heads
     D = C // H
@@ -82,6 +82,14 @@ def _attention(x, p, cfg: W2vBertConfig):
     scores = scores + _rel_key_scores(
         q, p["distance_embedding"], left_max=cfg.left_max_position_embeddings,
         right_max=cfg.right_max_position_embeddings) * scale
+    if valid_frames is not None:
+        # key-side padding mask (HF attention_mask): with it, hidden states
+        # at positions < valid_frames[b] equal the per-utterance forward
+        # exactly — attention is the only cross-position op here that reads
+        # the tail (the conv module is causally LEFT-padded, norms/FFNs are
+        # per-position), so masking keys makes zero-padded batches exact
+        key_ok = (jnp.arange(T)[None, :] < valid_frames[:, None])  # (B, T)
+        scores = jnp.where(key_ok[:, None, None, :], scores, -jnp.inf)
     # fp32 softmax island (torch autocast computes softmax in fp32)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhlm,bhmd->bhld", probs, v)
@@ -106,25 +114,31 @@ def _conv_module(x, p, cfg: W2vBertConfig):
     return x + h
 
 
-def _encoder_layer(x, p, cfg: W2vBertConfig):
+def _encoder_layer(x, p, cfg: W2vBertConfig, valid_frames=None):
     x = 0.5 * _ffn(x, p["ffn1"], cfg.layer_norm_eps) + x
-    x = _attention(x, p["attn"], cfg)
+    x = _attention(x, p["attn"], cfg, valid_frames)
     x = _conv_module(x, p["conv"], cfg)
     x = 0.5 * _ffn(x, p["ffn2"], cfg.layer_norm_eps) + x
     return _layer_norm(x, p["final_norm"], cfg.layer_norm_eps)
 
 
 def w2v_bert_apply(params, cfg: W2vBertConfig, features,
-                   *, output_layer: int | None = None) -> List[jnp.ndarray]:
+                   *, output_layer: int | None = None,
+                   valid_frames=None) -> List[jnp.ndarray]:
     """features: (B, T, 160) stacked fbank -> list of hidden states (HF indexing).
 
     output_layer=k returns only hidden_states[k] (k=0 is the projected input,
     k=i is the output of encoder layer i-1).
+
+    valid_frames: optional (B,) per-row count of real (non-padded) feature
+    frames. When set, attention keys at padded positions are masked out, so
+    hidden states over the valid region match running each utterance alone
+    (the HF attention_mask path) — the ragged full-length eval's requirement.
     """
     h, _ = w2v_bert_project(params, cfg, features)
     hiddens = [h]
     for lp in params["layers"]:
-        h = _encoder_layer(h, lp, cfg)
+        h = _encoder_layer(h, lp, cfg, valid_frames)
         hiddens.append(h)
         if output_layer is not None and len(hiddens) > output_layer:
             return hiddens[output_layer]

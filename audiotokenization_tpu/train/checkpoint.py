@@ -117,26 +117,36 @@ def load_checkpoint_params(directory, *, step: Optional[int] = None,
         # actual step before preferring it (else a resumed old run or a
         # metric-less final save would shadow the fallbacks with an empty dir)
         best_dir = directory / "ckpt_best"
-        if best_dir.exists() and \
-                ocp.CheckpointManager(best_dir).latest_step() is not None:
-            ckpt_dir = best_dir
+        if best_dir.exists():
+            probe = ocp.CheckpointManager(best_dir)
+            try:
+                has_best = probe.latest_step() is not None
+            finally:
+                probe.close()  # leaves background threads alive otherwise
+            if has_best:
+                ckpt_dir = best_dir
+            elif (directory / "best.json").exists():
+                step = json.loads((directory / "best.json").read_text())["step"]
         elif (directory / "best.json").exists():
             # older runs without the dedicated best manager: the step may
             # have rolled out of the max_to_keep window
             step = json.loads((directory / "best.json").read_text())["step"]
     mngr = ocp.CheckpointManager(ckpt_dir)
-    step = step if step is not None else mngr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoints under {directory}")
     try:
-        import jax
+        step = step if step is not None else mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        try:
+            import jax
 
-        from ..models.codec import init_codec
+            from ..models.codec import init_codec
 
-        abstract = jax.eval_shape(lambda: init_codec(jax.random.key(0), cfg))
-        restored = mngr.restore(
-            step, args=ocp.args.StandardRestore({"gen_params": abstract}))
-    except Exception:
-        restored = mngr.restore(step, args=ocp.args.StandardRestore())
+            abstract = jax.eval_shape(lambda: init_codec(jax.random.key(0), cfg))
+            restored = mngr.restore(
+                step, args=ocp.args.StandardRestore({"gen_params": abstract}))
+        except Exception:
+            restored = mngr.restore(step, args=ocp.args.StandardRestore())
+    finally:
+        mngr.close()
     gen_params = restored.gen_params if hasattr(restored, "gen_params") else restored["gen_params"]
     return cfg, gen_params

@@ -239,6 +239,16 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
 
     step = int(state.step)
+    if val_loader is not None and cfg.train.num_sanity_val_steps > 0:
+        # sanity validation before the loop (reference num_sanity_val_steps: 4,
+        # config/train/default.yaml:9): a crash in the eval path surfaces at
+        # step 0 instead of step val_every_n_steps. Metrics are discarded,
+        # like Lightning's sanity check; a marker lands in the JSONL.
+        run_validation(cfg, state.gen_params, val_loader, mesh=mesh,
+                       eval_step=eval_step, teacher_params=teacher_params,
+                       max_batches=cfg.train.num_sanity_val_steps,
+                       compute_stoi=False)
+        logger.log({"sanity_val_ok": 1.0}, step)
     t_last = time.perf_counter()
     hist_accum = None
     while step < max_steps:
@@ -287,6 +297,55 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     return state
 
 
+def _make_test_teacher(cfg: Config):
+    """Per-file w2v-bert targets for the concat_semantic full-length test
+    phase (the reference computes them in-loop, lightning_module.py:232-238).
+
+    Host fbank runs on the UNPADDED file (per-file exact — the clip's own
+    ±160 zero pad is what a zero tail would supply anyway), the teacher runs
+    on the bucket-padded feature array with an attention key mask at the
+    file's frame count (models/w2v_bert.py valid_frames), and the result is
+    zeroed past the teacher frames — exactly the zero-pad-to-Tf the reference
+    applies (lightning_module.py:236-238). Returns
+    compute(teacher_params, wav_1d, padded_len, hop) -> (1, 1024, plen//hop).
+    """
+    import jax as _jax
+
+    from ..models.w2v_bert import W2vBertConfig, w2v_bert_apply
+
+    tc = W2vBertConfig(num_hidden_layers=cfg.train.teacher_layers,
+                       num_attention_heads=cfg.train.teacher_heads,
+                       intermediate_size=cfg.train.teacher_intermediate)
+    layer = cfg.train.teacher_layer
+
+    @_jax.jit
+    def fwd(tp, feats, valid):
+        h = w2v_bert_apply(tp, tc, feats, output_layer=layer,
+                           valid_frames=valid)
+        return jnp.swapaxes(h, 1, 2)  # (B, 1024, nf)
+
+    def compute(tp, w, plen, hop):
+        from ..ops.fbank import _FRAME, _HOP, _STRIDE, w2v_bert_features_from_clip
+
+        f = w2v_bert_features_from_clip(w)  # (nf_file, 160), per-file exact
+        # bucket frame count from the padded length (one compile per bucket)
+        nfb = 1 + (plen + 320 - _FRAME) // _HOP
+        nfb = -(-nfb // _STRIDE)
+        feats = np.zeros((1, nfb, f.shape[1] if len(f) else 160), np.float32)
+        nf_file = min(len(f), nfb)
+        feats[0, :nf_file] = f[:nf_file]
+        t = np.array(fwd(tp, jnp.asarray(feats),
+                         jnp.asarray([max(nf_file, 1)], np.int32)))
+        t[:, :, nf_file:] = 0.0
+        Tf = plen // hop
+        out = np.zeros((1, t.shape[1], Tf), np.float32)
+        n = min(Tf, t.shape[2])
+        out[:, :, :n] = t[:, :, :n]
+        return jnp.asarray(out)
+
+    return compute
+
+
 def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
              max_batches: Optional[int] = None):
     """Full-length test pass over a batch-1 loader, bucketing files to
@@ -295,11 +354,19 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
     file length. Returns test_-prefixed metrics."""
     from ..utils.ragged import make_ragged_codec
 
-    if cfg.train.use_semantic and cfg.train.concat_semantic:
-        print("[test] concat_semantic quantizes concat(teacher, latents); "
-              "full-length test needs per-file teacher targets — skipping "
-              "(use cli/inference_full with --semantic_dir instead)")
-        return {}
+    concat_sem = cfg.train.use_semantic and cfg.train.concat_semantic
+    if concat_sem:
+        tp = (teacher_params if teacher_params is not None
+              else gen_params.get("w2v_bert"))
+        if tp is None:
+            # explicit JSONL marker instead of a silent empty dict: an
+            # unattended run must not mistake "no teacher, phase skipped"
+            # for "test phase ran clean"
+            print("[test] concat_semantic quantizes concat(teacher, latents) "
+                  "and no w2v-bert teacher is loaded — skipping the test "
+                  "phase (pass teacher_params / --w2v_bert_path)")
+            return {"test_skipped_concat_semantic": 1.0}
+        teacher_fwd = _make_test_teacher(cfg)
     if teacher_params is not None:
         gen_params = {**gen_params, "w2v_bert": teacher_params}
     sr = cfg.dataset.sample_rate
@@ -316,7 +383,11 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
         wav = np.zeros((1, plen), np.float32)
         wav[0, :len(w)] = w
         lens = np.asarray([len(w)], np.int32)
-        recon, codes = ragged(gen_params, jnp.asarray(wav), jnp.asarray(lens))
+        sem_t = None
+        if concat_sem:
+            sem_t = teacher_fwd(gen_params["w2v_bert"], w, plen, hop)
+        recon, codes = ragged(gen_params, jnp.asarray(wav), jnp.asarray(lens),
+                              sem_t)
         gen = np.asarray(recon)[0, :len(w)]
         codes = np.asarray(codes)[:, 0, :len(w) // hop]
         np.add.at(hist, codes.reshape(-1), 1)

@@ -93,45 +93,19 @@ def make_train_step(cfg: Config, *, donate: bool = True):
                 jax.tree.map(lambda t: t[n:], outs))
     gen_tx, disc_tx = make_optimizers(cfg)
 
-    def gen_forward(gen_params, batch, teacher):
+    def gen_forward(gen_params, batch, teacher, step=None):
         # the frozen SSL teacher rides OUTSIDE gen_params: it takes no
         # gradient and must not see AdamW weight decay (the reference
         # freezes it with requires_grad_(False), lightning_module.py:194)
         fwd_params = gen_params if teacher is None else {**gen_params,
                                                          "w2v_bert": teacher}
-        out = codec.forward(fwd_params, cfg, batch, training=True)
+        out = codec.forward(fwd_params, cfg, batch, training=True, step=step)
         sem = out.semantic_recon_loss
         diff = (out.gen_wav, out.vq_loss) + ((sem,) if sem is not None else ())
         aux = (out.vq_code, jax.lax.stop_gradient(out.quantizer_state))
         return diff, aux
 
-    def step_fn(state: TrainState, batch: Dict[str, Any], teacher=None):
-        if tcfg.precision == "fp32_strict":
-            # true fp32 MXU accumulation everywhere (TPU default keeps fp32
-            # tensors but runs matmuls in bf16, like torch's TF32-on default)
-            import contextlib
-
-            ctx = jax.default_matmul_precision("float32")
-        else:
-            import contextlib
-
-            ctx = contextlib.nullcontext()
-        with ctx:
-            return _step_body(state, batch, teacher)
-
-    def _step_body(state: TrainState, batch: Dict[str, Any], teacher):
-        y = batch["wav"][:, None, :]
-
-        # --- 1. shared generator forward, linearized once
-        diff_out, gen_vjp, (vq_code, qstate) = jax.vjp(
-            functools.partial(gen_forward, batch=batch, teacher=teacher),
-            state.gen_params, has_aux=True)
-        y_ = diff_out[0]
-        vq_loss_vec = diff_out[1]
-        sem_loss = diff_out[2] if len(diff_out) > 2 else None
-        y_detached = jax.lax.stop_gradient(y_)
-
-        # --- 2. discriminator update on detached fake
+    def make_disc_loss(y, y_detached):
         def disc_loss_fn(disc_params):
             real_outs, fake_outs = disc_forward_pair(disc_params, y, y_detached)
             real_l, fake_l = disc_loss(real_outs, fake_outs)
@@ -139,13 +113,13 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             return total, {"real_loss": real_l, "fake_loss": fake_l,
                            "disc_loss": total}
 
-        (disc_total, disc_logs), disc_grads = jax.value_and_grad(
-            disc_loss_fn, has_aux=True)(state.disc_params)
-        disc_updates, disc_opt_state = disc_tx.update(
-            disc_grads, state.disc_opt_state, state.disc_params)
-        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+        return disc_loss_fn
 
-        # --- 3. generator loss against the UPDATED discriminator
+    def make_gen_loss(y, disc_params):
+        """Generator loss over the differentiable forward outputs, against a
+        (stop-gradiented) discriminator — shared by the fused step and the
+        per-micro-batch accumulation scan."""
+
         def gen_loss_fn(*diff):
             y_g = diff[0]
             vq_l = diff[1]
@@ -186,6 +160,46 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             logs["gen_loss"] = total
             return total, logs
 
+        return gen_loss_fn
+
+    n_accum = max(int(tcfg.accumulate_grad_batches), 1)
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], teacher=None):
+        if tcfg.precision == "fp32_strict":
+            # true fp32 MXU accumulation everywhere (TPU default keeps fp32
+            # tensors but runs matmuls in bf16, like torch's TF32-on default)
+            import contextlib
+
+            ctx = jax.default_matmul_precision("float32")
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            if n_accum > 1:
+                return _step_body_accum(state, batch, teacher)
+            return _step_body(state, batch, teacher)
+
+    def _step_body(state: TrainState, batch: Dict[str, Any], teacher):
+        y = batch["wav"][:, None, :]
+
+        # --- 1. shared generator forward, linearized once
+        diff_out, gen_vjp, (vq_code, qstate) = jax.vjp(
+            functools.partial(gen_forward, batch=batch, teacher=teacher,
+                              step=state.step),
+            state.gen_params, has_aux=True)
+        y_ = diff_out[0]
+        y_detached = jax.lax.stop_gradient(y_)
+
+        # --- 2. discriminator update on detached fake
+        (disc_total, disc_logs), disc_grads = jax.value_and_grad(
+            make_disc_loss(y, y_detached), has_aux=True)(state.disc_params)
+        disc_updates, disc_opt_state = disc_tx.update(
+            disc_grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        # --- 3. generator loss against the UPDATED discriminator
+        gen_loss_fn = make_gen_loss(y, disc_params)
         grad_fn = jax.value_and_grad(gen_loss_fn, argnums=tuple(range(len(diff_out))),
                                      has_aux=True)
         (gen_total, gen_logs), cotangents = grad_fn(*diff_out)
@@ -199,7 +213,120 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             # (discards the optimizer's spurious weight-decay on those leaves).
             gen_params = {**gen_params, "quantizer": qstate}
 
+        from .metrics import codebook_histogram
+
+        hist = codebook_histogram(vq_code, cfg.model.codec_decoder.codebook_size)
         metrics = {**disc_logs, **gen_logs}
+        return _finalize(state, disc_total, disc_grads, gen_total, gen_grads,
+                         gen_params, disc_params, gen_opt_state,
+                         disc_opt_state, metrics, hist)
+
+    def _step_body_accum(state: TrainState, batch: Dict[str, Any], teacher):
+        """Gradient accumulation over N micro-batches (reference trainer
+        surface: accumulate_grad_batches, cfgs/config2/train/default.yaml:10),
+        preserving the disc-then-gen schedule PER EFFECTIVE STEP:
+
+          phase 1: disc grads on every micro-batch's stop-gradiented fake at
+                   the PRE-update disc params, averaged -> one disc update;
+          phase 2: gen grads on every micro-batch against the UPDATED disc,
+                   averaged -> one gen update.
+
+        Both phases are lax.scan over the micro axis, so activation memory is
+        one micro-batch's worth (the memory knob that makes effective bs64
+        fit a 16 GB chip). Equal-size micro-batches make the averaged losses
+        equal the fused big-batch means, so N=2 matches the fused 2x-batch
+        step to fp32 rounding (test_train_step_accumulation_matches_fused).
+        Cost vs fused: one extra generator forward per micro-batch (phase 1
+        recomputes the fake rather than saving N sets of vjp residuals).
+        EMA quantizer state threads sequentially through phase 2's carry.
+        """
+        n = n_accum
+        for k, v in batch.items():
+            if v.shape[0] % n:
+                raise ValueError(
+                    f"batch dim {v.shape[0]} of {k!r} not divisible by "
+                    f"accumulate_grad_batches={n}")
+        mbs = {k: v.reshape((n, v.shape[0] // n) + v.shape[1:])
+               for k, v in batch.items()}
+        zeros_like = functools.partial(jax.tree.map, jnp.zeros_like)
+
+        # --- phase 1: accumulate disc grads at the pre-update disc params
+        def disc_body(carry, mb):
+            gacc, lacc = carry
+            y = mb["wav"][:, None, :]
+            diff_out, _ = gen_forward(state.gen_params, mb, teacher,
+                                      step=state.step)
+            y_det = jax.lax.stop_gradient(diff_out[0])
+            (_, logs), grads = jax.value_and_grad(
+                make_disc_loss(y, y_det), has_aux=True)(state.disc_params)
+            return (jax.tree.map(jnp.add, gacc, grads),
+                    jax.tree.map(jnp.add, lacc, logs)), None
+
+        dlog0 = {k: jnp.zeros(()) for k in ("real_loss", "fake_loss",
+                                            "disc_loss")}
+        (disc_grads, disc_logs), _ = jax.lax.scan(
+            disc_body, (zeros_like(state.disc_params), dlog0), mbs)
+        disc_grads = jax.tree.map(lambda g: g / n, disc_grads)
+        disc_logs = {k: v / n for k, v in disc_logs.items()}
+        disc_total = disc_logs["disc_loss"]
+        disc_updates, disc_opt_state = disc_tx.update(
+            disc_grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        # --- phase 2: accumulate gen grads against the updated disc
+        from .metrics import codebook_histogram
+
+        d = cfg.model.codec_decoder
+        has_qstate = (not d.fsq) and d.quantizer == "ema_vq"
+        glog_keys = ["adv_loss", "gen_loss", "vq_loss"]
+        if mel_loss is not None:
+            glog_keys.append("mel_loss")
+        if tcfg.use_stft_loss:
+            glog_keys.append("stft_loss")
+        if tcfg.use_feat_match_loss:
+            glog_keys.append("fm_loss")
+        if tcfg.use_semantic:
+            glog_keys.append("semantic_recon_loss")
+
+        def gen_body(carry, mb):
+            q, gacc, lacc, hacc = carry
+            gp = {**state.gen_params, "quantizer": q}
+            y = mb["wav"][:, None, :]
+            diff_out, gen_vjp, (vq_code, qstate) = jax.vjp(
+                functools.partial(gen_forward, batch=mb, teacher=teacher,
+                                  step=state.step), gp, has_aux=True)
+            grad_fn = jax.value_and_grad(
+                make_gen_loss(y, disc_params),
+                argnums=tuple(range(len(diff_out))), has_aux=True)
+            (_, logs), cotangents = grad_fn(*diff_out)
+            (grads,) = gen_vjp(cotangents)
+            q_new = qstate if qstate is not None else q
+            return (q_new, jax.tree.map(jnp.add, gacc, grads),
+                    jax.tree.map(jnp.add, lacc, logs),
+                    hacc + codebook_histogram(vq_code, d.codebook_size)), None
+
+        glog0 = {k: jnp.zeros(()) for k in glog_keys}
+        (q_final, gen_grads, gen_logs, hist), _ = jax.lax.scan(
+            gen_body, (state.gen_params["quantizer"],
+                       zeros_like(state.gen_params), glog0,
+                       jnp.zeros(d.codebook_size, jnp.float32)), mbs)
+        gen_grads = jax.tree.map(lambda g: g / n, gen_grads)
+        gen_logs = {k: v / n for k, v in gen_logs.items()}
+        gen_total = gen_logs["gen_loss"]
+        gen_updates, gen_opt_state = gen_tx.update(
+            gen_grads, state.gen_opt_state, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+        if has_qstate:
+            gen_params = {**gen_params, "quantizer": q_final}
+
+        metrics = {**disc_logs, **gen_logs}
+        return _finalize(state, disc_total, disc_grads, gen_total, gen_grads,
+                         gen_params, disc_params, gen_opt_state,
+                         disc_opt_state, metrics, hist)
+
+    def _finalize(state, disc_total, disc_grads, gen_total, gen_grads,
+                  gen_params, disc_params, gen_opt_state, disc_opt_state,
+                  metrics, hist):
         if tcfg.guard_nonfinite:
             # non-finite step guard (SURVEY §5.2 hardening, beyond the
             # reference): if either side's total loss OR any gradient leaf is
@@ -244,10 +371,7 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             max_lr=tcfg.gen_schedule_params.max_lr,
             min_lr=tcfg.gen_schedule_params.min_lr)
         metrics["gen_lr"] = gen_sched(state.step)
-        from .metrics import codebook_histogram
-
-        metrics["codebook_hist"] = codebook_histogram(
-            vq_code, cfg.model.codec_decoder.codebook_size)
+        metrics["codebook_hist"] = hist
         return new_state, metrics
 
     return step_fn

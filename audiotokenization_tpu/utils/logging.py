@@ -44,8 +44,15 @@ class MetricsLogger:
 
                 self.wandb = wandb.init(project=project, name=run_name,
                                         id=wandb_id, resume="allow")
-            except Exception:
+            except Exception as e:
+                # explicit marker instead of a silent fallback: an unattended
+                # run must be able to see from the JSONL alone that wandb was
+                # requested but never attached
                 self.wandb = None
+                self.file.write(json.dumps(
+                    {"step": -1, "time": time.time(),
+                     "wandb_disabled": f"{type(e).__name__}: {e}"}) + "\n")
+                self.file.flush()
 
     def log(self, metrics: Dict[str, Any], step: int):
         if not self.primary:

@@ -90,6 +90,54 @@ class _MaskedAA:
         return _edge_mask(x, 0, 1, b)
 
 
+def _bottleneck_masked(params, x, frames):
+    """semantic_bottleneck (models/semantic.py:34-48) with per-sample frame
+    bounds: `_edge_mask` after every k=3 conv so each sample's tail sees the
+    per-file ZERO padding instead of its bucket neighbors' pad region —
+    mirrors what `_decode_masked` does for the decoder stack. x: (B, 1024, L),
+    frames: (B,)."""
+    from ..models.semantic import semantic_bottleneck  # noqa: F401  (spec ref)
+    from ..ops.conv import conv1d, get_weight
+
+    def c(p, y):
+        w = get_weight(p)
+        return _edge_mask(conv1d(y, w, p.get("b"), padding=(w.shape[-1] - 1) // 2),
+                          0, 1, frames)
+
+    h = c(params["initial"], x)
+    r = jax.nn.relu(h)
+    r = c(params["res1"], r)
+    r = jax.nn.relu(r)
+    r = c(params["res2"], r)
+    return c(params["final"], r + h)
+
+
+def _semantic_vq_in_masked(params, cfg: Config, lat, frames,
+                           semantic_target=None):
+    """Ragged-exact `codec.semantic_vq_in`: per-position ops (fc_prior) pass
+    through untouched; the concat_semantic bottleneck convs get per-sample
+    masking. semantic_target: (B, 1024, L) zero-padded past each sample's
+    teacher frames (the reference zero-pads the target to Tf itself,
+    lightning_module.py:236-238)."""
+    if not cfg.train.use_semantic:
+        return lat
+    from ..ops.conv import linear
+
+    sem_p = params["semantic"]
+    if cfg.train.concat_semantic:
+        if semantic_target is None:
+            raise ValueError(
+                "concat_semantic quantizes concat(teacher, latents); pass "
+                "semantic_target (B, 1024, L//hop) — run_test computes it "
+                "on the fly from the in-loop teacher")
+        t = _edge_mask(semantic_target, 0, 1, frames)
+        sem = _bottleneck_masked(sem_p["encoder"],
+                                 jax.lax.stop_gradient(t), frames)
+        lat = jnp.concatenate([sem, lat], axis=1)
+    out = linear(jnp.swapaxes(lat, 1, 2), sem_p["fc_prior"])
+    return jnp.swapaxes(out, 1, 2)
+
+
 def _maybe_pcm16(wavs):
     if wavs.dtype == jnp.int16:
         # PCM16 shipped as-is (half the host->device bytes) and converted on
@@ -175,7 +223,7 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
     hop = int(np.prod(e.up_ratios))
 
     @jax.jit
-    def run(params, wavs, lengths):
+    def run(params, wavs, lengths, semantic_target=None):
         wavs = _maybe_pcm16(wavs)
         enc = params["encoder"]
         if mode == "fast":
@@ -196,7 +244,8 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
             with jax.default_matmul_precision(prec):
                 lat = _encode_masked(enc, e, wavs, lengths, hop)
         with jax.default_matmul_precision("float32"):
-            lat = C.semantic_vq_in(params, cfg, lat)
+            lat = _semantic_vq_in_masked(params, cfg, lat, lengths // hop,
+                                         semantic_target)
             _, codes, _ = C.quantize(params, cfg, lat, training=False)
         return codes
 
@@ -216,17 +265,14 @@ def make_ragged_codec(cfg: Config):
     e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
     _check_exactness(e, "encoder")
     _check_exactness(d, "decoder")
-    if cfg.train.use_semantic and cfg.train.concat_semantic:
-        raise NotImplementedError("concat_semantic needs per-frame teacher "
-                                  "targets; no ragged path")
     hop = int(np.prod(e.up_ratios))
 
     @jax.jit
-    def run(params, wavs, lengths):
+    def run(params, wavs, lengths, semantic_target=None):
         wavs = _maybe_pcm16(wavs)
         frames = lengths // hop
         lat = _encode_masked(params["encoder"], e, wavs, lengths, hop)
-        lat = C.semantic_vq_in(params, cfg, lat)
+        lat = _semantic_vq_in_masked(params, cfg, lat, frames, semantic_target)
         zq, codes, _ = C.quantize(params, cfg, lat, training=False)
         if cfg.train.use_semantic:
             from ..ops.conv import linear

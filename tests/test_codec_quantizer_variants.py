@@ -65,6 +65,39 @@ def test_codec_ema_vq_cosine_end_to_end():
         1.0, rtol=1e-4, atol=1e-4)
 
 
+def test_codec_ema_vq_step_salted_rng():
+    """EMA-VQ randomness is salted by the step counter, not the batch data:
+    identical consecutive batches must draw DIFFERENT dead-code expiry
+    samples each step (the reference's expiry sampling is fresh per call,
+    vector_quantize_pytorch.py:474-484), while the same (step, batch) pair
+    stays deterministic."""
+    from audiotokenization_tpu.models import codec
+
+    cfg = tiny_config()
+    d = cfg.model.codec_decoder
+    d.quantizer = "ema_vq"
+    d.codebook_size = 256  # tiny batch -> most codes starved -> expiry fires
+    params = codec.init_codec(jax.random.key(3), cfg)
+    batch = _batch(3)
+    out_a = codec.forward(params, cfg, batch, training=True, step=0)
+    out_a2 = codec.forward(params, cfg, batch, training=True, step=0)
+    out_b = codec.forward(params, cfg, batch, training=True, step=1)
+    ea = np.asarray(out_a.quantizer_state["embed"])
+    np.testing.assert_array_equal(ea, np.asarray(out_a2.quantizer_state["embed"]))
+    assert not np.allclose(ea, np.asarray(out_b.quantizer_state["embed"]))
+    # integration: the jitted train step threads state.step, so two identical
+    # consecutive batches evolve the codebook differently on the expiry slots
+    state = init_train_state(jax.random.key(4), cfg)
+    step = jit_train_step(cfg)
+    s1, _ = step(state, batch)
+    e1 = np.asarray(s1.gen_params["quantizer"]["embed"])
+    s2, _ = step(s1, batch)
+    e2 = np.asarray(s2.gen_params["quantizer"]["embed"])
+    # the expiry-resampled rows come from rng-chosen batch vectors; with a
+    # step-salted rng they differ between the two steps
+    assert not np.allclose(e1, e2)
+
+
 def test_codec_lfq_end_to_end():
     cfg = tiny_config()
     d = cfg.model.codec_decoder

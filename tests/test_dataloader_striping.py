@@ -37,6 +37,32 @@ def test_process_striping_partitions_files(tmp_path):
     assert len(set(flat)) == 12  # disjoint coverage across hosts
 
 
+def test_striping_pads_to_equal_batch_counts(tmp_path):
+    """With a file count not divisible by process_count, every process must
+    still yield the SAME number of batches (DistributedSampler-style padding
+    by repetition) — unequal counts would deadlock collectively-compiled
+    steps on multi-host meshes."""
+    fl = _corpus(tmp_path, n=13)  # 13 files over 3 processes: 5/4/4 unpadded
+    split = DatasetSplit(filelist=str(fl), batch_size=2, shuffle=False,
+                         min_audio_length=500)
+    # eval-mode dataset: deterministic offset-0 crops, so a repeated file
+    # yields an identical row and the coverage count below is exact
+    ds = AudioDataset(split, sample_rate=16000, pad_to_multiple_of=10,
+                      train=False)
+    counts, seen = [], set()
+    for pi in range(3):
+        dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                        process_index=pi, process_count=3, drop_last=False)
+        batches = list(dl)
+        assert len(dl) == len(batches)
+        counts.append(len(batches))
+        for b in batches:
+            for row in b["wav"]:
+                seen.add(tuple(row[:5]))
+    assert len(set(counts)) == 1  # identical batch counts on every process
+    assert len(seen) == 13        # padding repeats files, drops none
+
+
 def test_epoch_shuffle_deterministic_and_changing(tmp_path):
     fl = _corpus(tmp_path)
     ds = _ds(fl, shuffle=True)

@@ -205,3 +205,56 @@ def test_fsdp_eval_step_consumes_sharded_params():
     out_repl = make_eval_step(cfg, mesh)(gathered, batch)
     np.testing.assert_allclose(float(out_fs["si_snr"]),
                                float(out_repl["si_snr"]), rtol=1e-4)
+
+
+def test_train_step_accumulation_matches_fused():
+    """accumulate_grad_batches=2 over a 4-sample batch must equal the fused
+    single-pass step on the same batch (equal micro sizes -> averaged micro
+    means == big-batch means; disc updated once from averaged grads, gen
+    against the updated disc), to fp32 rounding."""
+    cfg = tiny_config()
+    state0 = init_train_state(jax.random.key(7), cfg)
+    rng = np.random.RandomState(7)
+    batch = {"wav": jnp.asarray((rng.randn(4, 800) * 0.1).astype(np.float32))}
+
+    fused_state, fused_m = jit_train_step(cfg)(state0, batch)
+
+    cfg2 = dataclasses.replace(cfg)  # shallow copy; train is shared — deep:
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.train.accumulate_grad_batches = 2
+    acc_state, acc_m = jit_train_step(cfg2)(state0, batch)
+
+    for k in ("disc_loss", "gen_loss", "mel_loss", "adv_loss", "fm_loss",
+              "vq_loss"):
+        np.testing.assert_allclose(float(acc_m[k]), float(fused_m[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(acc_m["codebook_hist"]),
+                                  np.asarray(fused_m["codebook_hist"]))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(acc_state.gen_params),
+            jax.tree_util.tree_leaves_with_path(fused_state.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5, err_msg=str(pa))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(acc_state.disc_params),
+            jax.tree_util.tree_leaves_with_path(fused_state.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5, err_msg=str(pa))
+
+
+def test_train_step_accumulation_ema_vq_threads_state():
+    """EMA quantizer state threads sequentially through the accumulation
+    scan: the final codebook reflects N EMA updates, not one."""
+    cfg = tiny_config()
+    cfg.train.accumulate_grad_batches = 2
+    cfg.model.codec_decoder.quantizer = "ema_vq"
+    state = init_train_state(jax.random.key(8), cfg)
+    rng = np.random.RandomState(8)
+    batch = {"wav": jnp.asarray((rng.randn(4, 800) * 0.1).astype(np.float32))}
+    s1, m = jit_train_step(cfg)(state, batch)
+    assert np.isfinite(float(m["gen_loss"]))
+    assert not np.allclose(np.asarray(state.gen_params["quantizer"]["embed"]),
+                           np.asarray(s1.gen_params["quantizer"]["embed"]))
+    assert float(np.asarray(s1.gen_params["quantizer"]["cluster_size"]).sum()) > 0
