@@ -122,35 +122,64 @@ def _thirdoct(fs, nfft, num_bands, min_freq):
     return A
 
 
-def _stoi_frames(x):
+# pystoi uses machine epsilon, not 1e-8, in every guard — matching it keeps
+# the score bit-comparable to the reference's torchmetrics->pystoi chain
+_STOI_EPS = np.finfo(np.float64).eps
+
+
+def _stoi_frames(x, *, inclusive: bool):
+    """Hann-windowed frames. pystoi's two framing helpers differ by one
+    frame: `utils.stft` iterates range(0, len(x) - win, hop) (EXCLUSIVE of a
+    final exactly-fitting frame), while `remove_silent_frames` also uses the
+    exclusive range — both are mirrored here; `inclusive` keeps the older
+    1 + (len-win)//hop variant for callers that need full coverage."""
     w = np.hanning(_STOI_WIN + 2)[1:-1]
-    n = 1 + (len(x) - _STOI_WIN) // _STOI_HOP
+    if inclusive:
+        n = 1 + (len(x) - _STOI_WIN) // _STOI_HOP
+    else:
+        n = max(-(-(len(x) - _STOI_WIN) // _STOI_HOP), 0)
     idx = np.arange(n)[:, None] * _STOI_HOP + np.arange(_STOI_WIN)[None, :]
     return x[idx] * w
 
 
 def _remove_silent_frames(x, y):
-    w = np.hanning(_STOI_WIN + 2)[1:-1]
-    xf = _stoi_frames(x)
-    energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + _EPS)
-    mask = energies > (np.max(energies) - _STOI_DYN_RANGE)
-    yf = _stoi_frames(y)
+    """pystoi utils.remove_silent_frames: mask frames whose windowed energy
+    is > 40 dB below the loudest, overlap-add the survivors back."""
+    xf = _stoi_frames(x, inclusive=False)
+    yf = _stoi_frames(y, inclusive=False)
+    if len(xf) == 0:
+        return None, None
+    energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + _STOI_EPS)
+    mask = (np.max(energies) - _STOI_DYN_RANGE - energies) < 0
     xf, yf = xf[mask], yf[mask]
-    # overlap-add back to signals
+    if len(xf) == 0:
+        return None, None
+
     def ola(frames):
         out = np.zeros((len(frames) - 1) * _STOI_HOP + _STOI_WIN)
         for i, fr in enumerate(frames):
             out[i * _STOI_HOP:i * _STOI_HOP + _STOI_WIN] += fr
         return out
-    if len(xf) == 0:
-        return None, None
+
     return ola(xf), ola(yf)
 
 
 def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
     """Short-Time Objective Intelligibility (classic, non-extended).
 
-    target/est: 1-D waveforms at fs; internally resampled to 10 kHz.
+    Mirrors pystoi.stoi(..., extended=False) — the backend of the reference's
+    torchmetrics ShortTimeObjectiveIntelligibility
+    (lightning_module.py:214-218) — step for step: 10 kHz operating rate,
+    silent-frame removal (40 dB dynamic range, Hann 256/128), 512-FFT
+    third-octave bands (15 bands from 150 Hz), N=30-frame segments with
+    clipped (+15 dB SDR bound) normalized correlation, averaged over bands
+    and segments. Known deviation: resampling to 10 kHz uses ops/resample
+    (kaiser-windowed sinc) instead of scipy.signal.resample_poly — at fs ==
+    10000 the pipelines are identical; at 16 kHz scores differ by the
+    resampler difference only (bounded in tests/test_stoi_conformance.py
+    when pystoi is importable).
+
+    target/est: 1-D waveforms at fs.
     """
     from ..ops.resample import resample
 
@@ -164,7 +193,7 @@ def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
         return float("nan")
 
     def spectrogram(sig):
-        frames = _stoi_frames(sig)
+        frames = _stoi_frames(sig, inclusive=False)
         return np.abs(np.fft.rfft(frames, _STOI_NFFT, axis=1)) ** 2  # (M, F)
 
     A = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
@@ -178,13 +207,17 @@ def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
     for m in range(_STOI_N, M + 1):
         Xseg = X[m - _STOI_N:m]  # (N, J)
         Yseg = Y[m - _STOI_N:m]
-        alpha = np.sqrt(np.sum(Xseg ** 2, axis=0) / (np.sum(Yseg ** 2, axis=0) + _EPS))
+        # pystoi: norm-ratio normalization, clip at x*(1+c), then mean-center
+        # and UNIT-normalize each vector (each norm gets its own +EPS) before
+        # the inner product
+        alpha = (np.linalg.norm(Xseg, axis=0)
+                 / (np.linalg.norm(Yseg, axis=0) + _STOI_EPS))
         Yprime = np.minimum(Yseg * alpha[None, :], Xseg * (1 + c))
         xn = Xseg - np.mean(Xseg, axis=0, keepdims=True)
         yn = Yprime - np.mean(Yprime, axis=0, keepdims=True)
-        corr = np.sum(xn * yn, axis=0) / (
-            np.linalg.norm(xn, axis=0) * np.linalg.norm(yn, axis=0) + _EPS)
-        scores.append(np.mean(corr))
+        xn = xn / (np.linalg.norm(xn, axis=0, keepdims=True) + _STOI_EPS)
+        yn = yn / (np.linalg.norm(yn, axis=0, keepdims=True) + _STOI_EPS)
+        scores.append(np.mean(np.sum(xn * yn, axis=0)))
     return float(np.mean(scores))
 
 
