@@ -59,6 +59,59 @@ def _shift_from_right(x, axis_name, n):
     return jax.lax.ppermute(x, axis_name, [(i + 1, i) for i in range(n - 1)])
 
 
+# conservative ONE-SIDED reach (in positions at the operating scale) of one
+# Activation1d resample pair: 2x upsample taps reach ±3 input positions
+# (K=12 windowed sinc, stride 2), the 2x downsample another ±3, +2 margin
+_AA_REACH = 8
+
+
+def _replicate_window(x, g0, bound):
+    """Reproduce the full-sequence replicate pad INSIDE a halo window.
+
+    x: (B, C, L) where position j holds global index g0 + j (g0 may be
+    negative/traced). Activation1d's resampling filters replicate-pad at the
+    TRUE sequence edges (alias_free_torch/filter.py mode='replicate'); in a
+    halo-extended window those edges can be interior positions, so values at
+    global < 0 copy global 0 and values >= bound copy bound-1 — whenever the
+    window contains those source positions (windows lying entirely outside
+    [0, bound) produce don't-care values their devices discard).
+    """
+    L = x.shape[-1]
+    g = g0 + jnp.arange(L)
+    src = jnp.clip(jnp.clip(g, 0, jnp.maximum(bound, 1) - 1) - g0, 0, L - 1)
+    return jnp.take(x, src, axis=2)
+
+
+class _SPAA:
+    """Activation1d with true-edge replicate semantics for SP halo windows
+    (the sequence-parallel mirror of utils/ragged._MaskedAA): replicate the
+    input at the true edges, 2x upsample -> snake -> replicate the upsampled
+    signal at the (2x) true edges -> 2x downsample -> re-zero outside
+    [0, bound) so following convs see the full sequence's zero padding.
+    Window-edge filter error is confined to the _AA_REACH halo margin, which
+    callers must provision. antialias=False degrades to plain snake."""
+
+    def __init__(self, antialias: bool, g0, bound):
+        self._aa = bigcodec._AA(antialias)
+        self.antialias = antialias
+        self.g0 = g0
+        self.bound = bound
+
+    def __call__(self, x, snake_params):
+        if not self.antialias:
+            return self._aa(x, snake_params)
+        from ..ops import snake as SN
+        from ..ops.alias_free import downsample1d, upsample1d
+
+        x = _replicate_window(x, self.g0, self.bound)
+        x = upsample1d(x, self._aa.up, 2)
+        x = SN.snake_beta(x, snake_params["alpha"], snake_params["beta"])
+        x = _replicate_window(x, 2 * self.g0, 2 * self.bound)
+        x = downsample1d(x, self._aa.down, 2)
+        g = self.g0 + jnp.arange(x.shape[-1])
+        return x * ((g >= 0) & (g < self.bound)).astype(x.dtype)
+
+
 def _edge_mask(x, start, S, T):
     """Zero positions whose GLOBAL index falls outside [0, T) at stride scale S.
 
@@ -116,23 +169,34 @@ def _conv_front(enc, e, x, start, T, aa_factory=None):
     return x
 
 
-def _tail(enc, e, x, axis_name, n):
-    """Post-LSTM tail (Snake -> WNConv k3) with 1-frame neighbor halos.
+def _tail(enc, e, x, axis_name, n, *, my=0, ckf=0, tmf=0):
+    """Post-LSTM tail (Snake -> WNConv k3) with neighbor frame halos.
 
     The final conv (vq/codec_encoder.py:50, k=3 pad=1 / causal left-pad 2)
-    reaches one frame across the chunk boundary; fetch it from neighbors so
-    the valid convolution over the extended window reproduces the
-    full-sequence output. Edge devices get ppermute zeros == the zero pad
-    the full-sequence conv uses.
+    reaches one frame across the chunk boundary; antialias additionally puts
+    an Activation1d (±_AA_REACH frames) in front of it, so the halo grows to
+    cover the filter taps and the activation runs through `_SPAA` (true-edge
+    replicate + re-zero). Edge devices get ppermute zeros == the zero pad /
+    masked tail of the full sequence. my/ckf/tmf: device index, frames per
+    chunk, real frame count — needed only when e.antialias.
     """
     lpad, rpad = (2, 0) if e.causal else (1, 1)
-    left = _shift_from_left(x[:, :, -lpad:], axis_name, n)
-    parts = [left, x]
-    if rpad:
-        parts.append(_shift_from_right(x[:, :, :rpad], axis_name, n))
+    m = _AA_REACH if e.antialias else 0
+    hl, hr = lpad + m, rpad + m
+    parts = []
+    if hl:
+        parts.append(_shift_from_left(x[:, :, -hl:], axis_name, n))
+    parts.append(x)
+    if hr:
+        parts.append(_shift_from_right(x[:, :, :hr], axis_name, n))
     xx = jnp.concatenate(parts, axis=2)
-    aa = bigcodec._AA(e.antialias)
-    xx = aa(xx, enc["snake_out"])
+    if e.antialias:
+        aa = _SPAA(True, my * ckf - hl, tmf)
+        xx = aa(xx, enc["snake_out"])
+        L = x.shape[-1]
+        xx = xx[:, :, m:m + lpad + L + rpad]
+    else:
+        xx = bigcodec._AA(False)(xx, enc["snake_out"])
     return conv1d(xx, get_weight(enc["conv_out"]), enc["conv_out"].get("b"),
                   padding=0)
 
@@ -194,10 +258,6 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
                          "(supported: conformant | high | fast)")
     if lstm == "exact" and e.type != "bigcodec":
         raise NotImplementedError("lstm='exact' requires the bigcodec encoder")
-    if lstm == "exact" and e.antialias:
-        # Activation1d's replicate-pad resampling filters break the
-        # edge-mask exactness argument; the warm-up approximation is honest
-        raise NotImplementedError("antialias configs: use lstm='reset'")
 
     hop = int(np.prod(e.up_ratios)) if e.type == "bigcodec" else e.hop_length
     if context_seconds is None:
@@ -222,7 +282,9 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
             start = my * chunk - ctx
 
             def run(enc, x):
-                lat = _conv_front(enc, e, x, start, tm)
+                lat = _conv_front(
+                    enc, e, x, start, tm,
+                    aa_factory=lambda S: _SPAA(e.antialias, start // S, tm // S))
                 if e.use_rnn:
                     lat = _lstm_relay(enc, e, lat[:, :, cf:cf + ckf], my, axis, n)
                 else:
@@ -230,7 +292,8 @@ def make_sp_tokenizer(cfg: Config, mesh: Mesh | None = None, *,
                 # trailing-pad frames would bleed into the last real frame
                 # through the tail conv's right halo; full-seq pads them zero
                 lat = _edge_mask(lat, my * ckf, 1, tm // hop)
-                return _tail(enc, e, lat, axis, n)
+                return _tail(enc, e, lat, axis, n, my=my, ckf=ckf,
+                             tmf=tm // hop)
 
             enc = params["encoder"]
             if mode == "fast":
@@ -291,31 +354,46 @@ def _halo_extend(x, h_left, h_right, axis_name, n):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _decoder_block_sp(p, x, *, stride, dilations, aa, my, axis_name, n,
+def _sp_block_margins(stride, dilations, antialias):
+    """(M, h): residual-unit margin at the block OUTPUT scale and the input-
+    scale halo that covers it plus the tconv pad and (with antialias) the
+    block-level Activation1d's own filter reach."""
+    m_aa = _AA_REACH if antialias else 0
+    pad_ref = stride // 2 + stride % 2 if stride != 1 else 0
+    # per unit: Activation1d (±m_aa) -> conv k7 dil d (±3d) -> Activation1d
+    # (±m_aa) -> conv k1
+    M = sum(3 * d + 2 * m_aa for d in dilations)
+    h = -(-(M + pad_ref) // max(stride, 1)) + 1 + m_aa
+    return M, h
+
+
+def _decoder_block_sp(p, x, *, stride, dilations, antialias, my, axis_name, n,
                       L, S_out, tm):
     """One BigCodec DecoderBlock (snake -> tconv -> 3 residual units,
     vq/module.py:115-141) on an exact per-device chunk, kept exact via halo
     exchange + margin tracking + true-edge masking.
 
-    x: (1, C, L) exact chunk at the block's input scale. The transpose conv
-    is run in VALID form on a halo-extended window and sliced so that
-    out_local[q] == out_full[my*L*stride - M + q]; the residual units then
-    consume the margin M (3*d per unit, the same-pad one-sided reach), with
-    `_edge_mask` after every spatial op reproducing the full sequence's
-    per-layer zero padding at the true sequence edges. Returns the exact
-    (1, C_out, L*stride) chunk. S_out: output samples per decoder FRAME
-    (static), tm: real frame count (traced) — bound at this scale is tm*S_out.
+    x: (1, C, L) exact chunk at the block's input scale. The window is halo-
+    extended FIRST, the block Activation1d runs through `_SPAA` (true-edge
+    replicate; plain snake when antialias is off — pointwise, so extending
+    first is value-identical), then the transpose conv runs in VALID form
+    and is sliced so that out_local[q] == out_full[my*L*stride - M + q]; the
+    residual units then consume the margin M (3*d per unit + the two
+    Activation1d reaches when antialias), with `_edge_mask` after every
+    spatial op reproducing the full sequence's per-layer zero padding at the
+    true sequence edges. Returns the exact (1, C_out, L*stride) chunk.
+    S_out: output samples per decoder FRAME (static), tm: real frame count
+    (traced) — bound at the output scale is tm*S_out.
     """
+    M, h = _sp_block_margins(stride, dilations, antialias)
     pad_ref = stride // 2 + stride % 2 if stride != 1 else 0
-    outpad = stride % 2 if stride != 1 else 0
-    M = sum(3 * d for d in dilations)
-    h = -(-(M + pad_ref) // max(stride, 1)) + 1
     if L < h:
         raise ValueError(f"per-device chunk {L} frames < halo {h}; use a "
                          f"longer input or fewer devices")
 
-    x = aa(x, p["snake"])
     x_ext = _halo_extend(x, h, h, axis_name, n)
+    aa_in = _SPAA(antialias, my * L - h, tm * (S_out // stride))
+    x_ext = aa_in(x_ext, p["snake"])
     w = get_weight(p["up"])
     if stride != 1:
         y = conv_transpose1d(x_ext, w, p["up"].get("b"), stride=stride,
@@ -328,11 +406,12 @@ def _decoder_block_sp(p, x, *, stride, dilations, aa, my, axis_name, n,
     y = y[..., q0:q0 + L * stride + 2 * M]
     start = my * (L * stride) - M  # global sample index of y[..., 0]
     y = _edge_mask(y, start, 1, tm * S_out)
+    aa_out = _SPAA(antialias, start, tm * S_out)
     for j, d in enumerate(dilations):
         y = bigcodec.residual_unit(y, p["units"][j], dilation=d, causal=False,
-                                   aa=aa)
+                                   aa=aa_out)
         y = _edge_mask(y, start, 1, tm * S_out)
-        # outer 3d samples of the margin consumed their own window padding
+        # outer margin samples consumed their own window padding
     return y[..., M:M + L * stride]
 
 
@@ -358,9 +437,6 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
     if d.causal or d.rnn_bidirectional:
         raise NotImplementedError("sp synthesis covers the non-causal, "
                                   "unidirectional-RNN decoder configs")
-    if d.antialias:
-        raise NotImplementedError("antialias configs break the edge-mask "
-                                  "exactness argument (replicate-pad filters)")
     if any(s == 1 for s in d.up_ratios):
         # the offline decoder's stride-1 tconv runs padding=0 (length grows by
         # K-1), which the halo/q0 index mapping in _decoder_block_sp does not
@@ -375,9 +451,9 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
     dilations = tuple(d.dilations)
     hop = int(np.prod(up_ratios))
     # strictest per-device chunk bound comes from the first block's halo
-    M = sum(3 * dd for dd in dilations)
-    h_first = -(-(M + up_ratios[0] // 2 + up_ratios[0] % 2) // up_ratios[0]) + 1
-    min_chunk = max(h_first, 3)
+    _, h_first = _sp_block_margins(up_ratios[0], dilations, d.antialias)
+    tail_m = _AA_REACH if d.antialias else 0
+    min_chunk = max(h_first, 3 + tail_m)
     compiled: dict[int, Any] = {}
 
     class _E:  # adapter for _lstm_relay's encoder-config interface
@@ -389,7 +465,6 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
             # codes: (Nq, L) exact token chunk; tf: real frame count (traced)
             my = jax.lax.axis_index(axis)
             dec = params["decoder"]
-            aa = bigcodec._AA(d.antialias)
             z = C.codes_to_emb(params, cfg, jnp.swapaxes(codes, 0, 1)[None])
             z = _edge_mask(z, my * L, 1, tf)  # trailing pad: code-0 emb != 0
             x = _halo_extend(z, 3, 3, axis, n)
@@ -403,12 +478,20 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
             for i, stride in enumerate(up_ratios):
                 S_out_next = S_out * stride
                 x = _decoder_block_sp(dec["blocks"][i], x, stride=stride,
-                                      dilations=dilations, aa=aa, my=my,
+                                      dilations=dilations,
+                                      antialias=d.antialias, my=my,
                                       axis_name=axis, n=n, L=Lc,
                                       S_out=S_out_next, tm=tf)
                 Lc, S_out = Lc * stride, S_out_next
-            x = aa(x, dec["snake_out"])
-            x = _halo_extend(x, 3, 3, axis, n)
+            # tail: snake_out Activation1d (±_AA_REACH when antialias) + k7
+            # conv (pad 3) over neighbor halos; _SPAA degrades to plain snake
+            # (pointwise — halo-extending first is value-identical) otherwise
+            m = _AA_REACH if d.antialias else 0
+            x = _halo_extend(x, 3 + m, 3 + m, axis, n)
+            aa_f = _SPAA(d.antialias, my * Lc - (3 + m), tf * hop)
+            x = aa_f(x, dec["snake_out"])
+            if m:
+                x = x[..., m:m + Lc + 6]
             x = conv1d(x, get_weight(dec["conv_out"]), dec["conv_out"].get("b"),
                        padding=0)
             return jnp.tanh(x)

@@ -21,17 +21,25 @@ import jax.numpy as jnp
 
 
 def receptive_field_samples(cfg) -> int:
-    """Conservative receptive-field bound of the BigCodec encoder in samples."""
+    """Conservative receptive-field bound of the BigCodec encoder in samples.
+
+    With antialias on, every Activation1d adds its resampling-filter reach
+    (2x up + 2x down windowed-sinc pair, ±8 positions at its scale — see
+    parallel/sp._AA_REACH): 2 per residual unit + 1 per block + the final
+    snake_out, each counted at double reach for margin.
+    """
     e = cfg.model.codec_encoder
     if e.type != "bigcodec":
         return 4 * e.n_fft
+    aa = 16 if e.antialias else 0  # 2 x _AA_REACH per Activation1d
     rf = 7  # input conv
     stride_prod = 1
     for s in e.up_ratios:
         # 3 residual units (k7, dilations up to 9) + down conv k=2s
-        rf += stride_prod * (sum((7 - 1) * d for d in e.dilations) + 2 * s)
+        rf += stride_prod * (sum((7 - 1) * d for d in e.dilations) + 2 * s
+                             + aa * (2 * len(e.dilations) + 1))
         stride_prod *= s
-    rf += stride_prod * 3  # final conv k3 (+ LSTM is causal-only influence)
+    rf += stride_prod * (3 + aa)  # final conv k3 + snake_out Activation1d
     return rf
 
 
