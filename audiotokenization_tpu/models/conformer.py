@@ -31,7 +31,12 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
     spec = stft_same_constant_pad(wav, n_fft=n_fft, hop_length=hop_length,
                                   win_length=window_size)  # (B, F, Tf) complex
     feats = jnp.concatenate([spec.real, spec.imag], axis=1)  # (B, 2F, Tf)
-    h = conv1d(feats, get_weight(params["input_proj"]), params["input_proj"].get("b"))
+    w_in = get_weight(params["input_proj"])
+    # the FFT runs in fp32/complex64 regardless of input dtype; hand the
+    # backbone activations in the PARAM dtype (bf16 under mixed precision —
+    # lax.conv requires matching operand dtypes)
+    feats = feats.astype(w_in.dtype)
+    h = conv1d(feats, w_in, params["input_proj"].get("b"))
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["input_norm"]), 1, 2)
     h = conformer_backbone(h, params["backbone"], n_head=n_head,
                            rope_theta=rope_theta, max_seq_len=max_seq_len,

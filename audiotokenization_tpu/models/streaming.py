@@ -13,11 +13,22 @@ State carried between steps:
   start stays hop-aligned so stride phases match the full stream);
 - per-layer LSTM (h, c) — the ResLSTM is unidirectional with unbounded
   memory, so its state must be carried, not replayed;
-- `frame_tail`: the last 2 post-LSTM frames feeding the causal k=3 output
-  conv.
+- `frame_tail`: the last post-LSTM frames feeding the causal k=3 output
+  conv (and, with antialias, the snake_out Activation1d's past taps).
+
+Antialias configs (vq/alias_free_torch): the Activation1d resampling filters
+are SYMMETRIC, so a "causal" antialias model is only causal up to the filter
+reach — every emitted frame depends on a bounded window of FUTURE samples.
+Streaming therefore runs with a fixed LATENCY of `delay_frames` frames: each
+`step` emits the token span that ended `delay_frames` earlier (the leading
+`delay_frames` tokens of the stream are warm-up garbage to discard), and
+`flush` drains the final `delay_frames` tokens with the true stream end
+(where the filters replicate-pad, matching offline). True-edge semantics
+inside the rolling window reuse parallel/sp._SPAA. Stream length is capped
+at 2**28 samples (the mid-stream "no right edge yet" sentinel bound).
 
 Exactness is proven by test_streaming.py: chunked emission equals offline
-`codec.tokenize` token-for-token.
+`codec.tokenize` token-for-token, for plain AND antialias causal configs.
 """
 from __future__ import annotations
 
@@ -32,22 +43,45 @@ from .bigcodec import _AA, _wn_conv, encoder_block
 from ..ops.lstm import res_lstm_streaming
 from ..ops import snake as SN
 
+_NO_END = 2 ** 28  # mid-stream sentinel bound: "the right edge is not here yet"
+
 
 class StreamState(NamedTuple):
-    sample_tail: jnp.ndarray          # (B, 1, RF_front)
+    sample_tail: jnp.ndarray          # (B, 1, RF_front [+ delay])
     lstm_state: Any                   # list of (h, c) per layer (or None-like zeros)
-    frame_tail: jnp.ndarray           # (B, enc_dim, 2)
+    frame_tail: jnp.ndarray           # (B, enc_dim, 2 [+ aa reach])
+    pos: Any = 0                      # samples consumed so far (int32 scalar)
 
 
 def _front_receptive_field(cfg: Config) -> int:
-    """Receptive field (samples) of conv_in + encoder blocks (causal)."""
+    """Receptive field (samples) of conv_in + encoder blocks (causal); with
+    antialias, includes the Activation1d filter reach at every scale (see
+    utils/chunked.receptive_field_samples)."""
     e = cfg.model.codec_encoder
+    aa = 16 if e.antialias else 0
     rf = 7
     stride_prod = 1
     for s in e.up_ratios:
-        rf += stride_prod * (sum((7 - 1) * d for d in e.dilations) + 2 * s)
+        rf += stride_prod * (sum((7 - 1) * d for d in e.dilations) + 2 * s
+                             + aa * (2 * len(e.dilations) + 1))
         stride_prod *= s
     return rf
+
+
+def _front_future_reach(cfg: Config) -> int:
+    """One-sided FUTURE reach (samples) of the conv front's Activation1d
+    filters — zero without antialias (causal convs look left only)."""
+    e = cfg.model.codec_encoder
+    if not e.antialias:
+        return 0
+    from ..parallel.sp import _AA_REACH
+
+    ff = 0
+    stride_prod = 1
+    for _s in e.up_ratios:
+        ff += stride_prod * _AA_REACH * (2 * len(e.dilations) + 1)
+        stride_prod = stride_prod * _s
+    return ff
 
 
 class StreamingTokenizer:
@@ -58,10 +92,6 @@ class StreamingTokenizer:
         if e.type != "bigcodec" or not e.causal or e.rnn_bidirectional:
             raise ValueError("streaming requires a causal unidirectional "
                              "bigcodec encoder config")
-        if e.antialias:
-            raise NotImplementedError("antialias configs: Activation1d's "
-                                      "replicate-pad filters break streaming "
-                                      "window exactness")
         if cfg.train.use_semantic and cfg.train.concat_semantic:
             raise NotImplementedError("concat_semantic tokenization needs "
                                       "the teacher target per frame; no "
@@ -72,8 +102,21 @@ class StreamingTokenizer:
         if chunk_samples % self.hop != 0:
             raise ValueError(f"chunk_samples must be a multiple of hop {self.hop}")
         self.chunk = chunk_samples
+        self.antialias = e.antialias
+        if e.antialias:
+            from ..parallel.sp import _AA_REACH
+
+            self._m = _AA_REACH  # snake_out Activation1d frame-scale reach
+            # latency: the conv front's future filter taps + the frame-scale
+            # tail Activation1d + 1 frame of window-edge guard
+            self.delay_frames = (self._m + 1
+                                 + -(-_front_future_reach(self.cfg) // self.hop))
+        else:
+            self._m = 0
+            self.delay_frames = 0
         rf = _front_receptive_field(cfg)
-        self.tail = -(-rf // self.hop) * self.hop  # hop-aligned RF cover
+        self.tail = (-(-rf // self.hop) * self.hop
+                     + self.delay_frames * self.hop)  # hop-aligned history
         self._step = jax.jit(self._step_impl)
 
     def init_state(self, batch_size: int = 1) -> StreamState:
@@ -86,30 +129,85 @@ class StreamingTokenizer:
         return StreamState(
             sample_tail=jnp.zeros((batch_size, 1, self.tail), jnp.float32),
             lstm_state=lstm_state,
-            frame_tail=jnp.zeros((batch_size, enc_dim, 2), jnp.float32),
+            frame_tail=jnp.zeros((batch_size, enc_dim, 2 + self._m), jnp.float32),
+            pos=jnp.int32(0),
         )
 
-    def _step_impl(self, params, state: StreamState, chunk):
-        """chunk: (B, chunk_samples) -> (tokens (Nq, B, chunk/hop), new state)."""
+    def _step_impl(self, params, state: StreamState, chunk, end=_NO_END):
+        """chunk: (B, chunk_samples) -> (tokens (Nq, B, chunk/hop), new state).
+
+        Without antialias the emitted tokens cover exactly this chunk's
+        frames. With antialias they cover the span `delay_frames` earlier
+        (fixed latency); `end` is the true stream length in samples once
+        known (flush), else the _NO_END sentinel.
+        """
         cfg = self.cfg
         e = cfg.model.codec_encoder
         enc = params["encoder"]
-        aa = _AA(e.antialias)
+        n_frames = self.chunk // self.hop
         with jax.default_matmul_precision("float32"):
             window = jnp.concatenate([state.sample_tail, chunk[:, None, :]], axis=2)
-            x = _wn_conv(window, enc["conv_in"], causal=True)
-            for i, stride in enumerate(e.up_ratios):
-                x = encoder_block(x, enc["blocks"][i], stride=stride,
-                                  dilations=tuple(e.dilations), causal=True, aa=aa)
-            n_frames = self.chunk // self.hop
-            x = x[:, :, -n_frames:]  # exact frames: RF fully inside the window
-            x, lstm_state = res_lstm_streaming(x, enc["lstm"], state.lstm_state,
-                                               num_layers=e.rnn_num_layers) \
-                if e.use_rnn else (x, state.lstm_state)
-            y = jnp.concatenate([state.frame_tail, x], axis=2)
-            y = aa(y, enc["snake_out"])
-            y = _wn_conv(y, enc["conv_out"], causal=True)
-            lat = y[:, :, -n_frames:]
+            if not self.antialias:
+                aa = _AA(False)
+                x = _wn_conv(window, enc["conv_in"], causal=True)
+                for i, stride in enumerate(e.up_ratios):
+                    x = encoder_block(x, enc["blocks"][i], stride=stride,
+                                      dilations=tuple(e.dilations),
+                                      causal=True, aa=aa)
+                x = x[:, :, -n_frames:]  # exact: RF fully inside the window
+                x, lstm_state = res_lstm_streaming(
+                    x, enc["lstm"], state.lstm_state,
+                    num_layers=e.rnn_num_layers) \
+                    if e.use_rnn else (x, state.lstm_state)
+                y = jnp.concatenate([state.frame_tail, x], axis=2)
+                y = aa(y, enc["snake_out"])
+                y = _wn_conv(y, enc["conv_out"], causal=True)
+                lat = y[:, :, -n_frames:]
+                keepA = x
+            else:
+                from ..parallel.sp import _SPAA
+
+                m, D = self._m, self.delay_frames
+                end_s = jnp.int32(end)
+                pos0 = state.pos - self.tail  # global sample idx of window[0]
+                x = _wn_conv(window, enc["conv_in"], causal=True)
+                S = 1
+                for i, stride in enumerate(e.up_ratios):
+                    aa_i = _SPAA(True, pos0 // S, end_s // S)
+                    x = encoder_block(x, enc["blocks"][i], stride=stride,
+                                      dilations=tuple(e.dilations),
+                                      causal=True, aa=aa_i)
+                    S *= stride
+                # window frames; emit span starts at E = pos//hop - D, which
+                # sits at the STATIC window offset tail//hop - D
+                a = self.tail // self.hop - D
+                latA = x[:, :, a:a + n_frames]          # frames [E, E+nf)
+                latB = x[:, :, a + n_frames:a + n_frames + m]  # lookahead
+                E = state.pos // self.hop - D
+                if e.use_rnn:
+                    # warm-up: frames with global index < 0 never existed —
+                    # they must not advance the LSTM state (offline starts
+                    # its scan at frame 0 from the zero state)
+                    latA, lstm_state = res_lstm_streaming(
+                        latA, enc["lstm"], state.lstm_state,
+                        num_layers=e.rnn_num_layers,
+                        valid=E + jnp.arange(n_frames) >= 0)
+                    latB, _ = res_lstm_streaming(
+                        latB, enc["lstm"], lstm_state,
+                        num_layers=e.rnn_num_layers,
+                        valid=E + n_frames + jnp.arange(m) >= 0)
+                else:
+                    lstm_state = state.lstm_state
+                keepA = latA
+                post = jnp.concatenate([state.frame_tail, latA, latB], axis=2)
+                gf0 = E - (2 + m)
+                aa_t = _SPAA(True, gf0, end_s // self.hop)
+                y = aa_t(post, enc["snake_out"])
+                from ..ops.conv import conv1d, get_weight
+
+                y = conv1d(y, get_weight(enc["conv_out"]),
+                           enc["conv_out"].get("b"), padding=0)
+                lat = y[:, :, m:m + n_frames]
             from . import codec as C
 
             lat = C.semantic_vq_in(params, cfg, lat)
@@ -117,12 +215,38 @@ class StreamingTokenizer:
         new_state = StreamState(
             sample_tail=window[:, :, -self.tail:],
             lstm_state=lstm_state,
-            frame_tail=x[:, :, -2:],
+            frame_tail=jnp.concatenate([state.frame_tail, keepA],
+                                       axis=2)[:, :, -(2 + self._m):],
+            pos=state.pos + self.chunk,
         )
         return codes, new_state
 
     def step(self, state: StreamState, chunk):
         return self._step(self.params, state, chunk)
+
+    def flush(self, state: StreamState):
+        """Drain the `delay_frames` tokens still inside the latency window,
+        now that the stream has ended at state.pos samples (the Activation1d
+        filters replicate-pad there, matching the offline computation).
+        Returns (codes (Nq, B, delay_frames), new_state). No-op (0 frames)
+        without antialias."""
+        nf = self.chunk // self.hop
+        B = state.sample_tail.shape[0]
+        if self.delay_frames == 0:
+            nq = 1  # callers should ignore; keep a well-formed empty shape
+            return jnp.zeros((nq, B, 0), jnp.int32), state
+        end = state.pos  # true stream length, fixed across the flush steps
+        zeros = jnp.zeros((B, self.chunk), jnp.float32)
+        outs = []
+        got = 0
+        while got < self.delay_frames:
+            codes, state = self._step(self.params, state, zeros, end)
+            outs.append(codes)
+            got += nf
+        return jnp.concatenate(outs, axis=2)[:, :, :self.delay_frames], state
+
+
+_NO_END_F = 2 ** 20  # mid-stream sentinel in FRAMES (bound*hop*2 must fit int32)
 
 
 class SynthState(NamedTuple):
@@ -130,6 +254,7 @@ class SynthState(NamedTuple):
     lstm_state: Any            # list of (h, c) per layer
     post_tail: jnp.ndarray     # (B, D, P) post-LSTM frames (P = stack lookback)
     pos: jnp.ndarray           # frames decoded so far (for startup edge masks)
+    front_tail: Any = None     # (B, D, delay) pre-LSTM frames (antialias only)
 
 
 def _zero_before_start(x, start):
@@ -161,22 +286,37 @@ class StreamingSynthesizer:
         if d.type != "bigcodec" or not d.causal or d.rnn_bidirectional:
             raise ValueError("streaming synthesis requires a causal "
                              "unidirectional bigcodec decoder config")
-        if d.antialias:
-            raise NotImplementedError("antialias configs: Activation1d's "
-                                      "replicate-pad filters break the "
-                                      "startup edge masking")
         self.params = params
         self.cfg = cfg
         self.chunk_frames = chunk_frames
         self.hop = int(np.prod(d.up_ratios))
+        self.antialias = d.antialias
+        if d.antialias:
+            from ..parallel.sp import _AA_REACH
+
+            m = _AA_REACH
+        else:
+            m = 0
+        self._m = m
         # lookback of [blocks + tail conv] in post-LSTM frames: walk the
         # stack backwards; each block maps an output-scale reach r to
-        # ceil((r + units_reach)/stride) + tconv's 2-frame reach
-        units = sum(6 * dd for dd in d.dilations)  # causal k7: (k-1)*d each
-        r = 6  # conv_out k7 causal
+        # ceil((r + units_reach)/stride) + tconv's 2-frame reach (+ the block
+        # Activation1d's filter reach under antialias)
+        units = sum(6 * dd + 2 * m for dd in d.dilations)  # causal k7 + AA
+        r = 6 + m  # conv_out k7 causal + snake_out Activation1d
         for s in reversed(tuple(d.up_ratios)):
-            r = -(-(r + units) // s) + 2
+            r = -(-(r + units) // s) + 2 + m
         self.post = r
+        if d.antialias:
+            # latency: FUTURE reach of the symmetric Activation1d filters
+            # through the upsampling stack, in post-LSTM frames (+1 guard)
+            units_f = 2 * m * len(d.dilations)
+            rf = m  # snake_out
+            for s in reversed(tuple(d.up_ratios)):
+                rf = -(-(rf + units_f) // s) + m
+            self.delay_frames = rf + 1
+        else:
+            self.delay_frames = 0
         self._step = jax.jit(self._step_impl)
 
     def init_state(self, batch_size: int = 1) -> SynthState:
@@ -190,35 +330,76 @@ class StreamingSynthesizer:
             lstm_state=lstm_state,
             post_tail=jnp.zeros((batch_size, ch, self.post), jnp.float32),
             pos=jnp.int32(0),
+            front_tail=jnp.zeros((batch_size, ch, self.delay_frames),
+                                 jnp.float32),
         )
 
-    def _step_impl(self, params, state: SynthState, codes):
-        """codes: (Nq, B, chunk_frames) -> (wav (B, chunk_frames*hop), state)."""
+    def _step_impl(self, params, state: SynthState, codes, end=_NO_END_F):
+        """codes: (Nq, B, chunk_frames) -> (wav (B, chunk_frames*hop), state).
+
+        Without antialias the emitted samples cover exactly these frames.
+        With antialias they cover the span `delay_frames` frames earlier
+        (fixed latency); `end` is the true stream length in FRAMES once
+        known (flush), else the _NO_END_F sentinel.
+        """
         from . import codec as C
 
         cfg = self.cfg
         d = cfg.model.codec_decoder
         dec = params["decoder"]
-        aa = _AA(d.antialias)
         F = self.chunk_frames
+        m, D = self._m, self.delay_frames
         with jax.default_matmul_precision("float32"):
             emb = C.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
             window = jnp.concatenate([state.latent_tail, emb], axis=2)
-            x = _wn_conv(window, dec["conv_in"], causal=True)[:, :, -F:]
-            if d.use_rnn:
-                x, lstm_state = res_lstm_streaming(x, dec["lstm"],
-                                                   state.lstm_state,
-                                                   num_layers=d.rnn_num_layers)
+            x_new = _wn_conv(window, dec["conv_in"], causal=True)[:, :, -F:]
+            if not self.antialias:
+                if d.use_rnn:
+                    x, lstm_state = res_lstm_streaming(
+                        x_new, dec["lstm"], state.lstm_state,
+                        num_layers=d.rnn_num_layers)
+                else:
+                    x, lstm_state = x_new, state.lstm_state
+                y = jnp.concatenate([state.post_tail, x], axis=2)
+                w0 = state.pos - self.post
+                front_tail = state.front_tail
+                emit_slice = -F * self.hop
             else:
-                lstm_state = state.lstm_state
-            y = jnp.concatenate([state.post_tail, x], axis=2)
-            w0 = state.pos - self.post  # global frame index of y[..., 0]
+                from ..parallel.sp import _SPAA
+
+                E = state.pos - D
+                concatF = jnp.concatenate([state.front_tail, x_new], axis=2)
+                segA_in = concatF[:, :, :F]   # frames [E, E+F)
+                segB_in = concatF[:, :, F:]   # frames [E+F, E+F+D)
+                if d.use_rnn:
+                    segA, lstm_state = res_lstm_streaming(
+                        segA_in, dec["lstm"], state.lstm_state,
+                        num_layers=d.rnn_num_layers,
+                        valid=E + jnp.arange(F) >= 0)
+                    segB, _ = res_lstm_streaming(
+                        segB_in, dec["lstm"], lstm_state,
+                        num_layers=d.rnn_num_layers,
+                        valid=E + F + jnp.arange(D) >= 0)
+                else:
+                    segA, segB, lstm_state = segA_in, segB_in, state.lstm_state
+                x = segA
+                y = jnp.concatenate([state.post_tail, segA, segB], axis=2)
+                w0 = E - self.post
+                front_tail = concatF[:, :, F:]
+                emit_slice = None  # sliced explicitly below
             scale = 1
+            end_f = jnp.int32(end)
             from .bigcodec import residual_unit
 
             for i, stride in enumerate(tuple(d.up_ratios)):
                 p = dec["blocks"][i]
-                y = aa(y, p["snake"])
+                if self.antialias:
+                    from ..parallel.sp import _SPAA
+
+                    aa_i = _SPAA(True, w0 * scale, end_f * scale)
+                else:
+                    aa_i = _AA(False)
+                y = aa_i(y, p["snake"])
                 if stride != 1:
                     from ..ops.conv import causal_conv_transpose1d, get_weight
 
@@ -230,21 +411,58 @@ class StreamingSynthesizer:
                     y = _wn_tconv(y, p["up"])
                 scale *= stride
                 y = _zero_before_start(y, w0 * scale)
+                if self.antialias:
+                    aa_u = _SPAA(True, w0 * scale, end_f * scale)
+                else:
+                    aa_u = aa_i
                 for j, dd in enumerate(tuple(d.dilations)):
                     y = residual_unit(y, p["units"][j], dilation=dd,
-                                      causal=True, aa=aa)
+                                      causal=True, aa=aa_u)
                     y = _zero_before_start(y, w0 * scale)
-            y = aa(y, dec["snake_out"])
+            if self.antialias:
+                from ..parallel.sp import _SPAA
+
+                aa_t = _SPAA(True, w0 * self.hop, end_f * self.hop)
+            else:
+                aa_t = _AA(False)
+            y = aa_t(y, dec["snake_out"])
             y = _wn_conv(y, dec["conv_out"], causal=True)
-            wav = jnp.tanh(y[:, :, -F * self.hop:])
+            if emit_slice is not None:
+                wav = jnp.tanh(y[:, :, emit_slice:])
+            else:
+                p0 = self.post * self.hop
+                wav = jnp.tanh(y[:, :, p0:p0 + F * self.hop])
         new_state = SynthState(
             latent_tail=window[:, :, -6:],
             lstm_state=lstm_state,
             post_tail=jnp.concatenate([state.post_tail, x],
                                       axis=2)[:, :, -self.post:],
             pos=state.pos + F,
+            front_tail=front_tail,
         )
         return wav[:, 0], new_state
 
     def step(self, state: SynthState, codes):
         return self._step(self.params, state, codes)
+
+    def flush(self, state: SynthState):
+        """Drain the `delay_frames * hop` samples still inside the latency
+        window, now that the code stream has ended at state.pos frames.
+        Returns (wav (B, delay_frames*hop), new_state); empty without
+        antialias."""
+        B = state.latent_tail.shape[0]
+        if self.delay_frames == 0:
+            return jnp.zeros((B, 0), jnp.float32), state
+        end = state.pos  # true stream length in frames
+        d = self.cfg.model.codec_decoder
+        q = "fsq" if d.fsq else d.quantizer
+        nq = d.vq_num_quantizers if q == "fvq" else 1
+        zeros = jnp.zeros((nq, B, self.chunk_frames), jnp.int32)
+        outs = []
+        got = 0
+        while got < self.delay_frames:
+            wav, state = self._step(self.params, state, zeros, end)
+            outs.append(wav)
+            got += self.chunk_frames
+        return (jnp.concatenate(outs, axis=1)
+                [:, :self.delay_frames * self.hop], state)

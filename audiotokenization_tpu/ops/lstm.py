@@ -24,28 +24,37 @@ import jax.numpy as jnp
 
 
 def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False,
-                init_state=None, return_state: bool = False):
+                init_state=None, return_state: bool = False, valid=None):
     """Single-direction LSTM layer. x: (B, T, in) -> (B, T, H).
 
     init_state: optional (h0, c0) each (B, H) for streaming continuation;
     return_state=True additionally returns the final (h, c).
+    valid: optional (T,) bool — timesteps marked invalid pass the state
+    through UNCHANGED and emit zeros, exactly as if they were never fed
+    (the streaming warm-up window's pre-stream frames).
     """
     hdim = w_hh.shape[1]
     B = x.shape[0]
     pre = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
     pre = jnp.swapaxes(pre, 0, 1)  # (T, B, 4H) scan over leading axis
 
-    def step(carry, p):
+    def step(carry, pv):
         h, c = carry
+        p = pv[0] if valid is not None else pv
         gates = p + h @ w_hh.T
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        if valid is None:
+            return (h_new, c_new), h_new
+        v = pv[1]
+        return ((jnp.where(v, h_new, h), jnp.where(v, c_new, c)),
+                jnp.where(v, h_new, jnp.zeros_like(h_new)))
 
     init = init_state if init_state is not None else (
         jnp.zeros((B, hdim), x.dtype), jnp.zeros((B, hdim), x.dtype))
-    final, hs = jax.lax.scan(step, init, pre, reverse=reverse)
+    xs = pre if valid is None else (pre, valid)
+    final, hs = jax.lax.scan(step, init, xs, reverse=reverse)
     out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
     if return_state:
         return out, final
@@ -83,12 +92,15 @@ def res_lstm(x, params, *, num_layers: int = 2, bidirectional: bool = False,
 
 
 def res_lstm_streaming(x, params, state, *, num_layers: int = 2,
-                       skip: bool = True):
+                       skip: bool = True, valid=None):
     """Stateful unidirectional ResLSTM step for streaming inference.
 
     x: (B, F, T) chunk; state: list of per-layer (h, c) or None to start.
     Returns (y (B, F, T), new_state). Bit-identical to running res_lstm over
-    the concatenated stream (unidirectional only).
+    the concatenated stream (unidirectional only). valid: optional (T,) bool
+    marking frames that exist in the stream — invalid frames (the AA
+    streaming warm-up's pre-stream region) leave the state untouched and
+    output zero (the residual skip is suppressed there too).
     """
     xt = jnp.swapaxes(x, 1, 2)
     out = xt
@@ -97,10 +109,12 @@ def res_lstm_streaming(x, params, state, *, num_layers: int = 2,
         p = params[l] if isinstance(params, (list, tuple)) else params[str(l)]
         init = state[l] if state is not None else None
         out, fin = _lstm_layer(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
-                               init_state=init, return_state=True)
+                               init_state=init, return_state=True, valid=valid)
         new_state.append(fin)
     if skip:
         out = out + xt
+        if valid is not None:
+            out = out * valid[None, :, None].astype(out.dtype)
     return jnp.swapaxes(out, 1, 2), new_state
 
 

@@ -39,9 +39,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-resident batch dict onto the mesh, sharded on dim 0."""
+    """Place a host-resident batch dict onto the mesh, sharded on dim 0.
+
+    Single-process: a plain device_put. Multi-process: each process holds
+    only ITS stripe of the global batch (the loaders stripe the filelist),
+    so the global array is assembled from per-process local shards — the
+    jax-native equivalent of DDP's per-rank batches.
+    """
     sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def fsdp_sharding_for(mesh: Mesh, shape, *, axis: str = "data",

@@ -26,10 +26,19 @@ class CheckpointManager:
         self.directory.mkdir(parents=True, exist_ok=True)
         if jax.process_index() == 0:  # plain-file writes race on shared FS
             save_config(cfg, self.directory / "config.json")
+        from orbax.checkpoint import options as ocp_options
+
+        # distinct barrier prefixes: both managers can save the SAME step
+        # (a best save piggybacks on a rolling save); on multi-process runs
+        # orbax keys its commit barriers by step, and two managers sharing
+        # the "_async_write_complete.<step>" key deadlock/crash
         self.mngr = ocp.CheckpointManager(
             self.directory / "ckpt",
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True),
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=True,
+                multiprocessing_options=ocp_options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="main")),
         )
         # the reference keeps top-1-on-mel AND last (train.py:21-23): the
         # rolling manager above would delete the best step once max_to_keep
@@ -37,7 +46,9 @@ class CheckpointManager:
         self.best_mngr = ocp.CheckpointManager(
             self.directory / "ckpt_best",
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=1, create=True, enable_async_checkpointing=True),
+                max_to_keep=1, create=True, enable_async_checkpointing=True,
+                multiprocessing_options=ocp_options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="best")),
         )
         self.best_metric = None
         self.best_step = None

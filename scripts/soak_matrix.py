@@ -1,0 +1,181 @@
+"""Multi-config TPU soak matrix (VERDICT r2 next-round #5).
+
+Proves the SYSTEM trains across the config families, not just that the step
+compiles: a synthetic speech-like corpus is pushed through the STOCK CLI
+(`cli.train`) for each config — flagship bf16 (long), conformer, ema_vq,
+fsq and causal variants (short) — asserting decreasing mel/gen losses, zero
+non-finite skips, and that the val/test/checkpoint phases fire; then the
+flagship artifact goes through `cli.extract_indices` + `cli.inference_full`.
+
+Run on the TPU (default backend):  python scripts/soak_matrix.py
+Results: /tmp/soak/summary.json + a markdown table on stdout (recorded in
+BASELINE.md).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+WORK = Path("/tmp/soak")
+SR = 16000
+
+
+def build_corpus(n_files=96, seconds=2.0, seed=0):
+    from audiotokenization_tpu.data.audio_io import write_wav
+
+    rng = np.random.RandomState(seed)
+    root = WORK / "data"
+    files = []
+    for i in range(n_files):
+        T = int(seconds * SR) + 160 * (i % 8)
+        t = np.arange(T) / SR
+        f0 = 100 + 60 * rng.rand() + 25 * np.sin(2 * np.pi * (1.5 + rng.rand()) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / SR
+        x = sum(0.3 / k * np.sin(k * phase + rng.rand()) for k in (1, 2, 3, 4, 5))
+        env = 0.35 + 0.65 * (np.sin(2 * np.pi * (2 + rng.rand()) * t + rng.rand()) > -0.3)
+        x = x * env + 0.02 * rng.randn(T)
+        x = (0.5 * x / np.abs(x).max()).astype(np.float32)
+        p = root / "train" / f"spk{i % 8}" / f"utt{i:04d}.wav"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(p, x, SR)
+        files.append(str(p))
+    fl = WORK / "filelist.txt"
+    fl.write_text("\n".join(files))
+    # short full-length test split (ragged path; keep it cheap on TPU)
+    (WORK / "filelist_test.txt").write_text("\n".join(files[:4]))
+    return fl
+
+
+def run_one(tag, config, steps, overrides=()):
+    from audiotokenization_tpu.cli.train import main as train_main
+
+    run_dir = WORK / f"run_{tag}"
+    ov = [
+        f"dataset.train.filelist={WORK / 'filelist.txt'}",
+        f"dataset.val.filelist={WORK / 'filelist.txt'}",
+        f"dataset.test.filelist={WORK / 'filelist_test.txt'}",
+        "dataset.train.batch_size=32",
+        "dataset.val.batch_size=32",
+        "dataset.train.min_audio_length=16000",
+        "dataset.val.min_audio_length=16000",
+        "dataset.val.quality_metric_items=1",
+        f"train.max_steps={steps}",
+        "train.log_every_n_steps=25",
+        f"train.val_every_n_steps={max(steps // 2, 100)}",
+        f"train.checkpoint_every_n_steps={max(steps // 2, 100)}",
+        "train.num_sanity_val_steps=1",
+        "train.guard_nonfinite=true",
+        *overrides,
+    ]
+    t0 = time.time()
+    argv = ["--config", config, "--run_dir", str(run_dir), "--no_wandb",
+            "--override", *ov]
+    print(f"\n=== [{tag}] {config} {steps} steps ===", flush=True)
+    train_main(argv)
+    dt = time.time() - t0
+    logs = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+    tr = [l for l in logs if "gen_loss" in l]
+    val = [l for l in logs if "val_si_snr" in l]
+    test = [l for l in logs if any(k.startswith("test_") for k in l)]
+    first, last = tr[0], tr[-1]
+    n_skip = sum(l.get("nonfinite_skipped", 0) for l in tr)
+    res = {
+        "tag": tag, "config": config, "steps": steps,
+        "wall_s": round(dt, 1),
+        "mel_first": round(first.get("mel_loss", float("nan")), 3),
+        "mel_last": round(last.get("mel_loss", float("nan")), 3),
+        "gen_first": round(first["gen_loss"], 2),
+        "gen_last": round(last["gen_loss"], 2),
+        "steps_per_sec_last": round(last.get("steps_per_sec", 0.0), 3),
+        "val_si_snr_last": round(val[-1]["val_si_snr"], 2) if val else None,
+        "val_count": len(val),
+        "test_keys": sorted(k for k in (test[-1] if test else {}) if k.startswith("test_")),
+        "nonfinite_skipped": n_skip,
+        "sanity_val_ok": any(l.get("sanity_val_ok") for l in logs),
+        "ckpt_exists": (run_dir / "ckpt").exists(),
+        "run_dir": str(run_dir),
+    }
+    ok = (res["mel_last"] < res["mel_first"]
+          and res["gen_last"] < res["gen_first"]
+          and n_skip == 0 and res["val_count"] >= 1 and res["sanity_val_ok"])
+    res["ok"] = bool(ok)
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def post_flagship(run_dir):
+    """extract_indices + inference_full on the flagship artifact."""
+    from audiotokenization_tpu.cli.extract_indices import main as extract
+    from audiotokenization_tpu.cli.inference_full import main as inf
+
+    t0 = time.time()
+    extract(["--dataset_root", str(WORK), "--save_path", run_dir,
+             "--dataset_path", "data", "--ext_audio", ".wav",
+             "--subsets", "train", "--batch_size", "8",
+             "--output_folder", "soak_tokens"])
+    ext_s = time.time() - t0
+    npys = list((Path(run_dir) / "soak_tokens").rglob("*.npy"))
+    t0 = time.time()
+    inf(["--save_path", run_dir, "--batch_size", "8", "--duration", "1.0",
+         "--filelist", str(WORK / "filelist_test.txt"),
+         "--output_folder", "soak_inf", "--num_examples", "2"])
+    inf_s = time.time() - t0
+    summary = json.loads((Path(run_dir) / "soak_inf" / "summary.json").read_text())
+    return {"extracted": len(npys), "extract_s": round(ext_s, 1),
+            "inference_s": round(inf_s, 1),
+            "inf_si_snr": summary["si_snr"],
+            "inf_utilization": summary["utilization"]}
+
+
+def main():
+    WORK.mkdir(parents=True, exist_ok=True)
+    from audiotokenization_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    build_corpus()
+    results = []
+    matrix = [
+        ("flagship", "configs/bigcodec.yaml", 1000, ()),  # the long bf16 leg
+        ("conformer", "configs/conformer.yaml", 300, ()),
+        ("ema_vq", "configs/bigcodec.yaml", 300,
+         ("model.codec_decoder.quantizer=ema_vq",
+          "model.codec_decoder.codebook_size=8192")),
+        ("fsq", "configs/bigcodec_fsq.yaml", 300, ()),
+        ("causal", "configs/bigcodec_causal.yaml", 300, ()),
+    ]
+    for tag, config, steps, ov in matrix:
+        try:
+            results.append(run_one(tag, config, steps, list(ov)))
+        except Exception as exc:  # keep the matrix going; record the failure
+            import traceback
+
+            traceback.print_exc()
+            results.append({"tag": tag, "config": config, "steps": steps,
+                            "ok": False, "error": f"{type(exc).__name__}: {exc}",
+                            "mel_first": float("nan"), "mel_last": float("nan"),
+                            "gen_first": float("nan"), "gen_last": float("nan"),
+                            "steps_per_sec_last": 0.0, "val_si_snr_last": None,
+                            "nonfinite_skipped": -1,
+                            "run_dir": str(WORK / f"run_{tag}")})
+    flag = next(r for r in results if r["tag"] == "flagship")
+    post = post_flagship(flag["run_dir"])
+    out = {"results": results, "flagship_post": post}
+    (WORK / "summary.json").write_text(json.dumps(out, indent=2))
+    print("\n| config | steps | mel first→last | gen first→last | steps/s | val si_snr | skips | ok |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['tag']} | {r['steps']} | {r['mel_first']}→{r['mel_last']} "
+              f"| {r['gen_first']}→{r['gen_last']} | {r['steps_per_sec_last']} "
+              f"| {r['val_si_snr_last']} | {r['nonfinite_skipped']} "
+              f"| {'PASS' if r['ok'] else 'FAIL'} |")
+    print("flagship post:", json.dumps(post))
+    bad = [r["tag"] for r in results if not r["ok"]]
+    print("SOAK:", "PASS" if not bad else f"FAIL {bad}")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,3 +61,22 @@ def test_conformer_codec_train_step():
     out = C.forward(state1.gen_params, cfg, batch)
     assert out.gen_wav.shape == (2, 1, 800)
     assert out.vq_code.shape == (1, 2, 800 // 40)
+
+
+def test_conformer_train_step_bf16():
+    """Mixed-precision conformer step: the fp32 STFT frontend must hand the
+    backbone bf16 activations (lax.conv requires matching dtypes — regression
+    for the round-3 soak failure)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audiotokenization_tpu.train.state import init_train_state
+    from audiotokenization_tpu.train.step import jit_train_step
+
+    cfg = conformer_tiny_config()
+    cfg.train.precision = "bf16"
+    state = init_train_state(jax.random.key(2), cfg)
+    wav = jnp.asarray(np.random.RandomState(2).randn(2, 800).astype(np.float32) * 0.1)
+    _, m = jit_train_step(cfg)(state, {"wav": wav})
+    assert np.isfinite(float(m["gen_loss"]))

@@ -79,3 +79,28 @@ def test_res_lstm_skip():
     params = _torch_lstm_params(m, 2, False)
     got = L.res_lstm(jnp.asarray(x.numpy()), params, num_layers=2)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_snake_cos_form_matches_sin2():
+    """The half-angle cosine rewrite equals sin^2 snake to fp rounding and
+    the context flag restores cleanly (trace-time switch, training only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiotokenization_tpu.ops import snake as SN
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 64).astype(np.float32) * 3)
+    alpha = jnp.asarray(rng.randn(8).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.randn(8).astype(np.float32) * 0.3)
+    base = SN.snake_beta(x, alpha, beta)
+    with SN.cos_form():
+        alt = SN.snake_beta(x, alpha, beta)
+        g_alt = jax.grad(lambda y: jnp.sum(SN.snake_beta(y, alpha, beta)))(x)
+    assert not SN._COS_FORM  # flag restored
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+    g_base = jax.grad(lambda y: jnp.sum(SN.snake_beta(y, alpha, beta)))(x)
+    np.testing.assert_allclose(np.asarray(g_alt), np.asarray(g_base),
+                               rtol=1e-4, atol=1e-4)
