@@ -99,8 +99,11 @@ def run_one(tag, config, steps, overrides=()):
         "ckpt_exists": (run_dir / "ckpt").exists(),
         "run_dir": str(run_dir),
     }
+    # health criterion: the RECONSTRUCTION objective (mel) must decrease and
+    # nothing may have gone non-finite; the total gen loss is NOT monotone
+    # at few-hundred-step horizons (the adversarial/vq terms shift as the
+    # disc strengthens), so it is recorded but not gated on
     ok = (res["mel_last"] < res["mel_first"]
-          and res["gen_last"] < res["gen_first"]
           and n_skip == 0 and res["val_count"] >= 1 and res["sanity_val_ok"])
     res["ok"] = bool(ok)
     print(json.dumps(res), flush=True)

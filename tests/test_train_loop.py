@@ -312,8 +312,12 @@ def test_metrics_logger_wandb_stub(tmp_path, monkeypatch):
         def finish(self):
             calls["finished"] = True
 
+    def _init(**kw):
+        calls["init"] = kw
+        return _Run()
+
     stub = types.ModuleType("wandb")
-    stub.init = lambda **kw: calls.setdefault("init", kw) or _Run()
+    stub.init = _init
     monkeypatch.setitem(sys.modules, "wandb", stub)
     lg = MetricsLogger(tmp_path / "w", run_name="t", use_wandb=True)
     lg.log({"gen_loss": 1.5}, 3)
