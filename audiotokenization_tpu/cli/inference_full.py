@@ -125,7 +125,14 @@ def main(argv=None):
     # codec.forward; the ragged concat path computes per-file targets via the
     # masked teacher (train/loop._make_test_teacher)
     teacher_fwd = None
-    if cfg.train.use_semantic:
+    compute_feats = cfg.train.use_semantic and ragged_codec is None
+    # the ragged path for NON-concat semantic checkpoints only applies
+    # fc_prior/fc_post (per-position) — no teacher needed there; don't
+    # demand 600M params of weights for an eval that never touches them
+    needs_teacher = compute_feats or (cfg.train.use_semantic
+                                      and cfg.train.concat_semantic
+                                      and ragged_codec is not None)
+    if needs_teacher:
         from .train import _build_teacher
 
         params = {**params, "w2v_bert": _build_teacher(cfg, args)}
@@ -133,7 +140,6 @@ def main(argv=None):
             from ..train.loop import _make_test_teacher
 
             teacher_fwd = _make_test_teacher(cfg)
-    compute_feats = cfg.train.use_semantic and ragged_codec is None
     ds = AudioDataset(split, sample_rate=sr, pad_to_multiple_of=hop,
                       root=args.dataset_root, train=False,
                       compute_feats=compute_feats, hop_length=hop)

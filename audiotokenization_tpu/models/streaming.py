@@ -233,7 +233,11 @@ class StreamingTokenizer:
         nf = self.chunk // self.hop
         B = state.sample_tail.shape[0]
         if self.delay_frames == 0:
-            nq = 1  # callers should ignore; keep a well-formed empty shape
+            # empty result, but shaped consistently with step()'s (Nq, B, T)
+            # so generic concatenate-all-pieces callers never shape-crash
+            d = self.cfg.model.codec_decoder
+            q = "fsq" if d.fsq else d.quantizer
+            nq = d.vq_num_quantizers if q == "fvq" else 1
             return jnp.zeros((nq, B, 0), jnp.int32), state
         end = state.pos  # true stream length, fixed across the flush steps
         zeros = jnp.zeros((B, self.chunk), jnp.float32)

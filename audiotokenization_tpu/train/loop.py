@@ -28,7 +28,13 @@ from .step import jit_train_step
 def _device_batch(batch):
     """Host batch -> device batch: every key the jitted step consumes
     (wav + the semantic-branch feats/semantic_target), lengths dropped
-    (fixed-crop phases don't use them)."""
+    (fixed-crop phases don't use them).
+
+    Multi-process runs keep the batch on HOST: shard_batch's
+    make_array_from_process_local_data is the single upload there — an
+    eager jnp.asarray would cost a wasted device round trip per step."""
+    if jax.process_count() > 1:
+        return {k: np.asarray(v) for k, v in batch.items() if k != "lengths"}
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "lengths"}
 
 

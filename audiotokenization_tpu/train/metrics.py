@@ -127,17 +127,12 @@ def _thirdoct(fs, nfft, num_bands, min_freq):
 _STOI_EPS = np.finfo(np.float64).eps
 
 
-def _stoi_frames(x, *, inclusive: bool):
-    """Hann-windowed frames. pystoi's two framing helpers differ by one
-    frame: `utils.stft` iterates range(0, len(x) - win, hop) (EXCLUSIVE of a
-    final exactly-fitting frame), while `remove_silent_frames` also uses the
-    exclusive range — both are mirrored here; `inclusive` keeps the older
-    1 + (len-win)//hop variant for callers that need full coverage."""
+def _stoi_frames(x):
+    """Hann-windowed frames with pystoi's EXCLUSIVE framing: both its
+    `utils.stft` and `remove_silent_frames` iterate
+    range(0, len(x) - win, hop), skipping a final exactly-fitting frame."""
     w = np.hanning(_STOI_WIN + 2)[1:-1]
-    if inclusive:
-        n = 1 + (len(x) - _STOI_WIN) // _STOI_HOP
-    else:
-        n = max(-(-(len(x) - _STOI_WIN) // _STOI_HOP), 0)
+    n = max(-(-(len(x) - _STOI_WIN) // _STOI_HOP), 0)
     idx = np.arange(n)[:, None] * _STOI_HOP + np.arange(_STOI_WIN)[None, :]
     return x[idx] * w
 
@@ -145,8 +140,8 @@ def _stoi_frames(x, *, inclusive: bool):
 def _remove_silent_frames(x, y):
     """pystoi utils.remove_silent_frames: mask frames whose windowed energy
     is > 40 dB below the loudest, overlap-add the survivors back."""
-    xf = _stoi_frames(x, inclusive=False)
-    yf = _stoi_frames(y, inclusive=False)
+    xf = _stoi_frames(x)
+    yf = _stoi_frames(y)
     if len(xf) == 0:
         return None, None
     energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + _STOI_EPS)
@@ -193,7 +188,7 @@ def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
         return float("nan")
 
     def spectrogram(sig):
-        frames = _stoi_frames(sig, inclusive=False)
+        frames = _stoi_frames(sig)
         return np.abs(np.fft.rfft(frames, _STOI_NFFT, axis=1)) ** 2  # (M, F)
 
     A = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
