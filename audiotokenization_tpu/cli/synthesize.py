@@ -57,12 +57,10 @@ def main(argv=None):
             raise SystemExit("no --lm_ckpt given; pass --random for uniform tokens")
         tokens = jax.random.randint(key, (args.num_samples, n_frames), 0, vocab)
     else:
-        import orbax.checkpoint as ocp
+        from .train_token_lm import load_token_lm
 
-        mngr = ocp.CheckpointManager(Path(args.lm_ckpt).resolve() / "ckpt")
-        restored = mngr.restore(mngr.latest_step())
-        lm_params = restored["lm_params"]
         lm_cfg = TokenLMConfig(vocab_size=vocab + 2)
+        lm_params = load_token_lm(args.lm_ckpt, lm_cfg)
         # KV-cached decode: O(L) attention per emitted token
         tokens = token_lm_generate_kv(lm_params, lm_cfg,
                                       batch_size=args.num_samples,

@@ -10,6 +10,25 @@ import argparse
 from pathlib import Path
 
 
+def load_token_lm(run_dir, lm_cfg):
+    """Restore trained LM params from a train_token_lm run dir (the
+    counterpart of extract_indices.load_model for stage 2)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ..models.token_lm import init_token_lm
+
+    template = init_token_lm(jax.random.key(0), lm_cfg)
+    with ocp.CheckpointManager(Path(run_dir).resolve() / "ckpt") as mngr:
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no token-LM checkpoint under {run_dir}")
+        restored = mngr.restore(
+            step, args=ocp.args.Composite(
+                lm_params=ocp.args.StandardRestore(template)))
+    return restored["lm_params"]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--codec_ckpt", type=str, required=True,
@@ -20,6 +39,7 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_steps", type=int, default=100000)
     p.add_argument("--crop_seconds", type=float, default=1.0)
+    p.add_argument("--log_every", type=int, default=50)
     args = p.parse_args(argv)
 
     import jax
@@ -74,11 +94,14 @@ def main(argv=None):
             lm_params, opt_state, logs = step_fn(lm_params, opt_state,
                                                  {"wav": jnp.asarray(batch["wav"])})
             step += 1
-            if step % 50 == 0:
+            if step % args.log_every == 0:
                 logger.log({k: float(v) for k, v in logs.items()}, step)
             if step % 10000 == 0 or step == args.max_steps:
-                mngr.save(step, args=ocp.args.StandardSave(
-                    {"lm_params": lm_params, "opt_state": opt_state}))
+                # two Composite items so load_token_lm can restore the params
+                # without reconstructing the optimizer-state template
+                mngr.save(step, args=ocp.args.Composite(
+                    lm_params=ocp.args.StandardSave(lm_params),
+                    opt_state=ocp.args.StandardSave(opt_state)))
     mngr.wait_until_finished()
 
 
