@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--precision", default="bf16")
     ap.add_argument("--remat", default="False")
+    ap.add_argument("--quantizer", default=None,
+                    help="override codec quantizer (e.g. ema_vq)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--outdir", default="/tmp/train_profile")
@@ -39,6 +41,8 @@ def main():
     cfg = Config()
     cfg.train.precision = args.precision
     cfg.train.remat = args.remat == "True"
+    if args.quantizer:
+        cfg.model.codec_decoder.quantizer = args.quantizer
     state = init_train_state(jax.random.key(0), cfg)
     step = jit_train_step(cfg, donate=False)
     wav = jnp.asarray(np.random.RandomState(0).randn(args.batch, 16000)
