@@ -162,6 +162,13 @@ class TrainConfig:
     # for big variants/multi-host runs; numerically equal to replicated DP
     # (test_train_step_fsdp_matches_replicated).
     fsdp: bool = False
+    # Megatron-style tensor parallelism for conformer backbones (beyond the
+    # reference, which has no TP — SURVEY §2.8): devices reshape to a
+    # ('data', 'model') mesh with model as the fast/inner ICI axis;
+    # attention/FFN weights shard over 'model' (parallel/tp.py). 1 = off.
+    # Requires a conformer encoder/decoder with heads/dims divisible by it;
+    # composes with fsdp (non-TP leaves shard over 'data').
+    tensor_parallel: int = 1
     # non-finite step guard (beyond the reference): when a side's total loss
     # is NaN/inf, keep that side's params/opt-state instead of applying the
     # poisoned update (a jnp.where select inside the step — no host sync).

@@ -25,8 +25,13 @@ from ..ops.transformer import (conformer_backbone, init_conformer_backbone,
 
 def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
                      n_head=8, rope_theta=10000.0, max_seq_len=8192,
-                     causal=False, remat=False):
-    """x: (B, 1, T) -> (B, out_channels, T/hop) latents."""
+                     causal=False, remat=False, backbone_fn=None):
+    """x: (B, 1, T) -> (B, out_channels, T/hop) latents.
+
+    backbone_fn: optional replacement for the sequential backbone call —
+    the hook parallel/pp.py uses to run the layer stack as a GPipe-style
+    pipeline over a 'pipe' mesh axis. Signature (h, backbone_params) -> h.
+    """
     wav = x[:, 0, :]
     spec = stft_same_constant_pad(wav, n_fft=n_fft, hop_length=hop_length,
                                   win_length=window_size)  # (B, F, Tf) complex
@@ -38,9 +43,12 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
     feats = feats.astype(w_in.dtype)
     h = conv1d(feats, w_in, params["input_proj"].get("b"))
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["input_norm"]), 1, 2)
-    h = conformer_backbone(h, params["backbone"], n_head=n_head,
-                           rope_theta=rope_theta, max_seq_len=max_seq_len,
-                           conv_first=True, causal=causal, remat=remat)
+    if backbone_fn is not None:
+        h = backbone_fn(h, params["backbone"])
+    else:
+        h = conformer_backbone(h, params["backbone"], n_head=n_head,
+                               rope_theta=rope_theta, max_seq_len=max_seq_len,
+                               conv_first=True, causal=causal, remat=remat)
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["norm"]), 1, 2)
     if "output_proj" in params:
         h = conv1d(h, get_weight(params["output_proj"]), params["output_proj"].get("b"))
@@ -60,13 +68,20 @@ def istft_head(params, x, *, n_fft: int, hop_length: int):
 
 def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
                      rope_theta=10000.0, max_seq_len=8192, causal=False,
-                     remat=False):
-    """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform."""
+                     remat=False, backbone_fn=None):
+    """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform.
+
+    backbone_fn: optional pipeline-parallel backbone hook (parallel/pp.py),
+    as in conformer_encode.
+    """
     if "input_proj" in params:
         x = conv1d(x, get_weight(params["input_proj"]), params["input_proj"].get("b"))
-    x = conformer_backbone(x, params["backbone"], n_head=n_head,
-                           rope_theta=rope_theta, max_seq_len=max_seq_len,
-                           conv_first=False, causal=causal, remat=remat)
+    if backbone_fn is not None:
+        x = backbone_fn(x, params["backbone"])
+    else:
+        x = conformer_backbone(x, params["backbone"], n_head=n_head,
+                               rope_theta=rope_theta, max_seq_len=max_seq_len,
+                               conv_first=False, causal=causal, remat=remat)
     x = rms_norm(jnp.swapaxes(x, 1, 2), params["norm"])  # (B, T, dim)
     return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length)
 

@@ -76,6 +76,12 @@ def self_attention(x, p, cos, sin, *, n_head: int, causal: bool = False,
     k = rms_norm(k)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    # Tensor parallelism: inside a parallel.tp.tp_shard_activations context,
+    # shard heads over the 'model' mesh axis (identity otherwise) so the
+    # attention kernel runs head-local on each shard.
+    from ..parallel.tp import constrain_heads
+
+    q, k, v = constrain_heads(q), constrain_heads(k), constrain_heads(v)
     out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
     if not deterministic and dropout > 0.0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, out.shape)

@@ -239,11 +239,21 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     # single-device execution (with a note) instead of a sharding error
     n_dev = len(jax.devices())
     mesh = None
+    tp_n = max(int(cfg.train.tensor_parallel), 1)
     if use_mesh and n_dev > 1:
         # the loader yields a PER-PROCESS batch; the global batch the mesh
         # sees is batch_size * process_count (shard_batch assembles it)
         global_bs = cfg.dataset.train.batch_size * jax.process_count()
-        if global_bs % n_dev == 0:
+        if tp_n > 1:
+            # ('data','model') mesh: batch shards over the data axis only
+            from ..parallel.tp import make_dp_tp_mesh
+
+            if global_bs % (n_dev // tp_n):
+                raise ValueError(
+                    f"global batch {global_bs} not divisible by the "
+                    f"{n_dev // tp_n}-way data axis (tensor_parallel={tp_n})")
+            mesh = make_dp_tp_mesh(tp_n)
+        elif global_bs % n_dev == 0:
             mesh = make_data_mesh()
         else:
             print(f"[train] global batch {global_bs} not divisible by "
@@ -257,7 +267,9 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     elif ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     step_fn = jit_train_step(cfg, mesh, donate=True, fsdp=cfg.train.fsdp)
-    eval_step = (make_eval_step(cfg, mesh, fsdp=cfg.train.fsdp)
+    # tp: params arrive TP-sharded; like fsdp, let GSPMD propagate their
+    # shardings through the eval graph instead of forcing replication
+    eval_step = (make_eval_step(cfg, mesh, fsdp=cfg.train.fsdp or tp_n > 1)
                  if val_loader is not None else None)
     logger = logger or MetricsLogger(run_dir, run_name=cfg.name, use_wandb=False)
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps

@@ -393,6 +393,13 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False,
 
     donate=True (used by the training loop) donates the input state buffers —
     halves peak param/opt-state memory but invalidates the passed-in state.
+
+    A mesh with a 'model' axis (parallel/tp.make_dp_tp_mesh) activates
+    Megatron-style tensor parallelism for conformer backbones: attention/FFN
+    weights (and their mirrored optimizer moments) shard over 'model', the
+    batch shards over 'data', and the step is traced under
+    tp_shard_activations so q/k/v carry the head-sharding constraint.
+    Composes with fsdp=True (non-TP leaves shard over 'data').
     """
     step_fn = make_train_step(cfg)
     donate_kw = {"donate_argnums": (0,)} if donate else {}
@@ -403,7 +410,18 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state_sh = repl
-    if fsdp:
+    tp = "model" in mesh.axis_names
+    if tp:
+        from ..parallel.tp import tp_shard_activations, tp_state_shardings
+
+        state_sh = tp_state_shardings(mesh, cfg, fsdp=fsdp,
+                                      fsdp_min_size=fsdp_min_size)
+        inner = step_fn
+
+        def step_fn(state, batch, teacher=None):  # noqa: F811
+            with tp_shard_activations(mesh):
+                return inner(state, batch, teacher)
+    elif fsdp:
         from ..parallel.mesh import fsdp_state_shardings
         from .state import init_train_state
 
@@ -414,7 +432,7 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False,
     jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, data, repl),
-        out_shardings=((state_sh, repl) if fsdp else (repl, repl)),
+        out_shardings=((state_sh, repl) if (fsdp or tp) else (repl, repl)),
         **donate_kw,
     )
 
