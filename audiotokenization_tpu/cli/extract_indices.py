@@ -62,6 +62,12 @@ def build_argparser():
                         "(parallel/sp.py exact halo+LSTM-relay tokenizer); "
                         "token-identical to single-device, built for long "
                         "files on a multi-chip slice")
+    p.add_argument("--tensor_parallel", action="store_true",
+                   help="conformer checkpoints: shard the attention/FFN "
+                        "weights across every attached device (parallel/tp.py "
+                        "Megatron placement); token-identical to "
+                        "single-device, built for wide models on a "
+                        "multi-chip slice")
     return p
 
 
@@ -146,6 +152,13 @@ def main(argv=None):
         print("note: --sequence_parallel zero-pads to its chunk bucket and "
               "floors to T//hop frames; the --exact length contract does "
               "not apply on this path")
+    if args.tensor_parallel and args.sequence_parallel:
+        raise SystemExit("--tensor_parallel and --sequence_parallel shard "
+                         "different axes of the same devices; pick one")
+    if args.tensor_parallel and sem_dir is not None:
+        print("note: --semantic_dir has no tensor-parallel path; ignoring "
+              "--tensor_parallel")
+        args.tensor_parallel = False
     if args.sequence_parallel:
         from ..parallel.mesh import make_data_mesh
         from ..parallel.sp import make_sp_tokenizer
@@ -158,9 +171,17 @@ def main(argv=None):
     else:
         sp_tok = None
 
-        @jax.jit
-        def tokenize(params, wav):
-            return C.tokenize(params, cfg, wav, mode=args.mode)
+        if args.tensor_parallel:
+            # whole-mesh model axis: per-file batches are B=1, so the data
+            # axis must stay size 1 (parallel/tp.jit_tp_tokenize)
+            from ..parallel.tp import jit_tp_tokenize, make_dp_tp_mesh
+
+            tokenize = jit_tp_tokenize(
+                cfg, make_dp_tp_mesh(len(jax.devices())), mode=args.mode)
+        else:
+            @jax.jit
+            def tokenize(params, wav):
+                return C.tokenize(params, cfg, wav, mode=args.mode)
 
     if sem_dir is not None:
         @jax.jit

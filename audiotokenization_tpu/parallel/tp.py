@@ -184,17 +184,31 @@ def tp_state_shardings(mesh: Mesh, cfg, *, fsdp: bool = False,
 
 def jit_tp_tokenize(cfg, mesh: Mesh, *, mode: str = "conformant"):
     """Tokenizer jitted over a ('data','model') mesh: batch data-sharded,
-    conformer weights model-sharded. Returns fn(params, wav) -> codes."""
+    conformer weights model-sharded. Returns fn(params, wav) -> codes.
+
+    Param shardings are derived from the ACTUAL params on first call (not an
+    abstract init tree), so both training-layout (v, g) and inference-folded
+    (w) checkpoints work.
+    """
     from ..models import codec
 
     validate_tp(cfg, mesh.shape["model"])
-    abstract = jax.eval_shape(lambda: codec.init_codec(jax.random.key(0), cfg))
-    p_sh = tp_shardings(mesh, abstract)
+    cache: dict = {}
 
     def fn(params, wav):
         with tp_shard_activations(mesh):
             return codec.tokenize(params, cfg, wav, mode=mode)
 
-    # codes layout is (Nq, B, Tf) — batch is dim 1
-    return jax.jit(fn, in_shardings=(p_sh, NamedSharding(mesh, P("data"))),
-                   out_shardings=NamedSharding(mesh, P(None, "data")))
+    def call(params, wav):
+        if "jitted" not in cache:
+            cache["p_sh"] = tp_shardings(mesh, params)
+            # codes layout is (Nq, B, Tf) — batch is dim 1
+            cache["jitted"] = jax.jit(
+                fn, in_shardings=(cache["p_sh"], NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P(None, "data")))
+        # checkpoint-restored params arrive committed to one device; place
+        # them on the mesh explicitly (a no-op copy once resident)
+        params = jax.device_put(params, cache["p_sh"])
+        return cache["jitted"](params, wav)
+
+    return call

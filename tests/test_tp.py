@@ -149,6 +149,44 @@ def test_tp_train_loop_end_to_end(tmp_path):
     assert "model" in str(w1.sharding.spec)
 
 
+def test_extract_cli_tensor_parallel_token_identical(tmp_path):
+    """extract_indices --tensor_parallel (whole-mesh model axis, folded
+    weight-norm inference params) writes byte-identical .npy tokens."""
+    from audiotokenization_tpu.data.audio_io import write_wav
+    from audiotokenization_tpu.train.checkpoint import CheckpointManager
+    from audiotokenization_tpu.train.state import init_train_state
+    from audiotokenization_tpu.cli.extract_indices import main as extract_main
+
+    cfg = tp_tiny_config()
+    cfg.model.codec_encoder.n_head = 8  # whole-mesh model axis = 8 devices
+    cfg.model.codec_decoder.n_head = 8
+    run_dir = tmp_path / "run"
+    ckpt = CheckpointManager(str(run_dir), cfg)
+    ckpt.save(init_train_state(jax.random.key(0), cfg))
+    ckpt.wait()
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data" / "LS" / "test-clean" / "7" / "70"
+    d.mkdir(parents=True)
+    for i in range(2):
+        write_wav(d / f"7-70-{i:04d}.wav",
+                  (rng.randn(800 + 40 * i) * 0.1).astype(np.float32), 16000)
+
+    def run(out, extra):
+        extract_main(["--dataset_root", str(tmp_path / "data"),
+                      "--save_path", str(run_dir), "--dataset_path", "LS",
+                      "--ext_audio", ".wav", "--subsets", "test-clean",
+                      "--output_folder", out] + extra)
+        return {p.name: np.load(p) for p in
+                sorted((run_dir / out).rglob("*.npy"))}
+
+    ref = run("plain", [])
+    got = run("tp", ["--tensor_parallel"])
+    assert ref.keys() == got.keys() and len(ref) == 2
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got[k])
+
+
 def test_tp_validation_rejects_bad_configs():
     mesh_n = 4
     cfg = Config()  # bigcodec family: no TP target
