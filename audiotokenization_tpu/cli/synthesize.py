@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--sequence_parallel", action="store_true",
                    help="shard each sample's decode across every attached "
                         "device (parallel/sp.py halo+LSTM-relay synthesizer)")
+    p.add_argument("--pipeline_parallel", type=int, default=0, metavar="N",
+                   help="conformer decoders: pipeline the backbone over N "
+                        "stage devices (parallel/pp.py GPipe schedule; "
+                        "n_layers must divide by N)")
     args = p.parse_args(argv)
 
     import jax
@@ -68,12 +72,22 @@ def main(argv=None):
                                       temperature=args.temperature)
         tokens = jnp.clip(tokens, 0, vocab - 1)  # drop any BOS/EOS samples
 
+    if args.sequence_parallel and args.pipeline_parallel:
+        raise SystemExit("--sequence_parallel and --pipeline_parallel shard "
+                         "different axes of the same devices; pick one")
     if args.sequence_parallel:
         from ..parallel.sp import make_sp_synthesizer
 
         syn = make_sp_synthesizer(cfg)
         wav = np.stack([np.asarray(syn(codec_params, tokens[i][None]))
                         for i in range(args.num_samples)])  # (B, T)
+    elif args.pipeline_parallel:
+        from ..parallel.pp import jit_pp_synthesize, make_pipe_mesh
+
+        syn = jit_pp_synthesize(
+            cfg, make_pipe_mesh(args.pipeline_parallel),
+            n_micro=max(args.num_samples, 1))
+        wav = np.asarray(syn(codec_params, jnp.asarray(tokens)[None]))  # (B, T)
     else:
         emb = C.codes_to_emb(codec_params, cfg, tokens[..., None])  # (B, C, Tf)
         wav = np.asarray(C.decode(codec_params, cfg, emb))[:, 0]

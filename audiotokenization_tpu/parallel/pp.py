@@ -155,7 +155,7 @@ def jit_pp_tokenize(cfg, mesh: Mesh, *, n_micro: int | None = None):
             _, codes, _ = codec.quantize(params, cfg, latents, training=False)
         return codes
 
-    return jax.jit(fn)
+    return _with_mesh_placement(jax.jit(fn), mesh)
 
 
 def jit_pp_synthesize(cfg, mesh: Mesh, *, n_micro: int | None = None):
@@ -193,4 +193,16 @@ def jit_pp_synthesize(cfg, mesh: Mesh, *, n_micro: int | None = None):
                 max_seq_len=d.max_seq_len, causal=d.causal, backbone_fn=bb)
         return wav[:, 0, :]
 
-    return jax.jit(fn)
+    return _with_mesh_placement(jax.jit(fn), mesh)
+
+
+def _with_mesh_placement(jitted, mesh: Mesh):
+    """Checkpoint-restored params arrive committed to one device, which
+    conflicts with the pipeline's multi-device sharding constraints; place
+    inputs replicated on the mesh first (a no-op copy once resident)."""
+    repl = NamedSharding(mesh, P())
+
+    def call(params, x):
+        return jitted(jax.device_put(params, repl), jax.device_put(x, repl))
+
+    return call
