@@ -259,6 +259,29 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
             print(f"[train] global batch {global_bs} not divisible by "
                   f"{n_dev} devices; running unsharded")
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
+    if mesh is not None:
+        # Place the state on the mesh BEFORE any Orbax restore: the restore
+        # target's shardings are what the restored arrays come back with, so
+        # restoring into a single-device state and then feeding a jitted step
+        # whose in_shardings span the mesh raises an incompatible-sharding
+        # error (committed arrays are never implicitly resharded). FSDP/TP
+        # additionally restore straight into shards instead of full per-chip
+        # copies. The 2-process test does the same (tests/_mp_worker.py).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if tp_n > 1:
+            from ..parallel.tp import tp_state_shardings
+
+            state_sh = tp_state_shardings(mesh, cfg, fsdp=cfg.train.fsdp)
+        elif cfg.train.fsdp:
+            from ..parallel.mesh import fsdp_state_shardings
+
+            state_sh = fsdp_state_shardings(
+                mesh, jax.eval_shape(
+                    lambda: init_train_state(jax.random.key(0), cfg)))
+        else:
+            state_sh = NamedSharding(mesh, P())
+        state = jax.device_put(state, state_sh)
     ckpt = CheckpointManager(run_dir, cfg)
     if resume_from is not None:
         from .checkpoint import restore_train_state

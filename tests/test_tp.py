@@ -147,6 +147,11 @@ def test_tp_train_loop_end_to_end(tmp_path):
     assert int(state.step) == 2
     w1 = state.gen_params["encoder"]["backbone"]["layers"][0]["ffn1"]["w1"]["w"]
     assert "model" in str(w1.sharding.spec)
+    # resume over the same mesh: the Orbax restore must come back with the
+    # TP shardings the jitted step expects (loop device_puts before restore)
+    state2 = train(cfg, train_loader=loader, val_loader=loader,
+                   run_dir=str(tmp_path / "run"), max_steps=3)
+    assert int(state2.step) == 3
 
 
 def test_extract_cli_tensor_parallel_token_identical(tmp_path):

@@ -76,6 +76,30 @@ def test_train_loop_checkpoint_resume(corpus, tmp_path):
     assert int(state2.step) == 5
 
 
+def test_train_loop_mesh_resume(corpus, tmp_path):
+    """Resume on a multi-device data mesh: the loop must place the restore
+    target on the mesh first — a single-device-committed restored state fed
+    to a step with mesh in_shardings raises (committed arrays are never
+    implicitly resharded)."""
+    tmp, fl = corpus
+    cfg = tiny_config()
+    cfg.dataset.train.filelist = str(fl)
+    cfg.dataset.train.min_audio_length = 800
+    cfg.dataset.train.batch_size = 8  # divisible by the 8-device mesh
+    cfg.dataset.pad_to_multiple_of = 10
+    ds = AudioDataset(cfg.dataset.train, sample_rate=16000,
+                      pad_to_multiple_of=10, train=True)
+    loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    run_dir = tmp_path / "run"
+    state = train(cfg, train_loader=loader, run_dir=str(run_dir),
+                  use_mesh=True, max_steps=2)
+    assert int(state.step) == 2
+    assert len(jax.tree.leaves(state.gen_params)[0].sharding.device_set) == 8
+    state2 = train(cfg, train_loader=loader, run_dir=str(run_dir),
+                   use_mesh=True, max_steps=3)
+    assert int(state2.step) == 3
+
+
 def test_validation_metrics(corpus):
     tmp, fl = corpus
     cfg = tiny_config()
