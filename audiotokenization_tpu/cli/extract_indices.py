@@ -62,12 +62,15 @@ def build_argparser():
                         "(parallel/sp.py exact halo+LSTM-relay tokenizer); "
                         "token-identical to single-device, built for long "
                         "files on a multi-chip slice")
-    p.add_argument("--tensor_parallel", action="store_true",
+    p.add_argument("--tensor_parallel", type=int, nargs="?", const=-1,
+                   default=0, metavar="N",
                    help="conformer checkpoints: shard the attention/FFN "
-                        "weights across every attached device (parallel/tp.py "
+                        "weights over an N-device model axis (parallel/tp.py "
                         "Megatron placement); token-identical to "
                         "single-device, built for wide models on a "
-                        "multi-chip slice")
+                        "multi-chip slice. Bare flag = all attached devices; "
+                        "pass a degree when n_head/dims don't divide the "
+                        "full slice size")
     return p
 
 
@@ -172,12 +175,20 @@ def main(argv=None):
         sp_tok = None
 
         if args.tensor_parallel:
-            # whole-mesh model axis: per-file batches are B=1, so the data
-            # axis must stay size 1 (parallel/tp.jit_tp_tokenize)
+            # per-file batches are B=1, so the data axis must stay size 1
+            # (parallel/tp.jit_tp_tokenize); the model axis defaults to all
+            # attached devices but accepts a smaller degree when head/dim
+            # divisibility demands it (ADVICE r3)
             from ..parallel.tp import jit_tp_tokenize, make_dp_tp_mesh
 
+            tp_n = (len(jax.devices()) if args.tensor_parallel < 0
+                    else args.tensor_parallel)
+            if tp_n > len(jax.devices()) or len(jax.devices()) % tp_n:
+                raise SystemExit(
+                    f"--tensor_parallel {tp_n} does not divide the "
+                    f"{len(jax.devices())} attached devices")
             tokenize = jit_tp_tokenize(
-                cfg, make_dp_tp_mesh(len(jax.devices())), mode=args.mode)
+                cfg, make_dp_tp_mesh(tp_n), mode=args.mode)
         else:
             @jax.jit
             def tokenize(params, wav):

@@ -90,6 +90,7 @@ def main(argv=None):
         wav = np.asarray(syn(codec_params, jnp.asarray(tokens)[None]))  # (B, T)
     else:
         emb = C.codes_to_emb(codec_params, cfg, tokens[..., None])  # (B, C, Tf)
+        emb = C.apply_fc_post_a(codec_params, cfg, emb)
         wav = np.asarray(C.decode(codec_params, cfg, emb))[:, 0]
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -143,6 +143,21 @@ def codes_to_emb(params, cfg: Config, codes, *, proj: bool = True):
     return jnp.swapaxes(emb, 1, 2)
 
 
+def apply_fc_post_a(params, cfg: Config, emb):
+    """Semantic checkpoints decode fc_post_a(zq), not zq (semantic.py:91,
+    lightning_module.py:263-265). Apply on decoder-input embeddings
+    (B, C, Tf); non-semantic params pass through unchanged. Every
+    decode-from-codes path (synthesize CLI plain/SP/PP, streaming, ragged
+    eval) must route through this so a parallelism flag never changes the
+    produced audio."""
+    sem_p = params.get("semantic")
+    if sem_p is None or "fc_post_a" not in sem_p:
+        return emb
+    from ..ops.conv import linear
+
+    return jnp.swapaxes(linear(jnp.swapaxes(emb, 1, 2), sem_p["fc_post_a"]), 1, 2)
+
+
 def _cast_tree(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,

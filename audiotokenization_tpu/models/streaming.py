@@ -355,6 +355,7 @@ class StreamingSynthesizer:
         m, D = self._m, self.delay_frames
         with jax.default_matmul_precision("float32"):
             emb = C.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
+            emb = C.apply_fc_post_a(params, cfg, emb)  # per-frame linear
             window = jnp.concatenate([state.latent_tail, emb], axis=2)
             x_new = _wn_conv(window, dec["conv_in"], causal=True)[:, :, -F:]
             if not self.antialias:

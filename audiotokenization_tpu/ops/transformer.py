@@ -69,17 +69,19 @@ def self_attention(x, p, cos, sin, *, n_head: int, causal: bool = False,
     """
     B, C, T = x.shape
     xt = jnp.swapaxes(x, 1, 2)  # (B, T, C)
-    qkv = linear(xt, p["qkv"])  # (B, T, 3C)
-    qkv = qkv.reshape(B, T, 3, n_head, C // n_head)
+    # Tensor parallelism: inside a parallel.tp.tp_shard_activations context,
+    # the qkv projection is computed against a head-block-permuted weight
+    # view sharded over 'model' (head-local output, no per-layer reshard)
+    # and head tensors are constrained to shard over 'model'; both are the
+    # identity otherwise.
+    from ..parallel.tp import constrain_heads, tp_qkv_heads
+
+    qkv = tp_qkv_heads(xt, p["qkv"], n_head)  # (B, T, 3, H, D)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = rms_norm(q)
     k = rms_norm(k)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    # Tensor parallelism: inside a parallel.tp.tp_shard_activations context,
-    # shard heads over the 'model' mesh axis (identity otherwise) so the
-    # attention kernel runs head-local on each shard.
-    from ..parallel.tp import constrain_heads
 
     q, k, v = constrain_heads(q), constrain_heads(k), constrain_heads(v)
     out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)

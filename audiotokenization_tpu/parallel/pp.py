@@ -180,13 +180,8 @@ def jit_pp_synthesize(cfg, mesh: Mesh, *, n_micro: int | None = None):
                             conv_first=False, causal=d.causal, n_micro=n_micro)
         with jax.default_matmul_precision("float32"):
             emb = codec.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
-            sem_p = params.get("semantic")
-            if sem_p is not None and "fc_post_a" in sem_p:
-                # semantic checkpoints decode fc_post_a(zq) (semantic.py:91)
-                from ..ops.conv import linear
-
-                emb = jnp.swapaxes(
-                    linear(jnp.swapaxes(emb, 1, 2), sem_p["fc_post_a"]), 1, 2)
+            # semantic checkpoints decode fc_post_a(zq) (semantic.py:91)
+            emb = codec.apply_fc_post_a(params, cfg, emb)
             wav = conformer_decode(
                 params["decoder"], emb, hop_length=d.hop_length, n_fft=d.n_fft,
                 n_head=d.n_head, rope_theta=d.rope_theta,

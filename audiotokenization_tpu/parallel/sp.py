@@ -466,6 +466,9 @@ def make_sp_synthesizer(cfg: Config, mesh: Mesh | None = None, *,
             my = jax.lax.axis_index(axis)
             dec = params["decoder"]
             z = C.codes_to_emb(params, cfg, jnp.swapaxes(codes, 0, 1)[None])
+            # semantic checkpoints decode fc_post_a(zq) — per-frame linear,
+            # so applying it shard-locally before the edge mask is exact
+            z = C.apply_fc_post_a(params, cfg, z)
             z = _edge_mask(z, my * L, 1, tf)  # trailing pad: code-0 emb != 0
             x = _halo_extend(z, 3, 3, axis, n)
             x = conv1d(x, get_weight(dec["conv_in"]), dec["conv_in"].get("b"),

@@ -73,6 +73,45 @@ def tp_shard_activations(mesh: Mesh):
         _local.mesh = prev
 
 
+def tp_qkv_heads(xt, p, n_head: int):
+    """Packed-qkv projection returning (B, T, 3, H, D), head-aligned under TP.
+
+    Canonical row order of the (3C, C) weight is [q heads | k heads | v heads]
+    (vq/module.py:418-421). Outside a TP context (or when heads don't divide
+    the model axis, or the projection carries a bias) this is the plain
+    einsum + reshape. Inside one, the rows are regrouped per model-shard as
+    [q_s | k_s | v_s] and that VIEW is sharded P('model', None): each shard
+    slices its own heads' rows from the replicated stored weight (no
+    collective), computes only its rows of the projection, and the output
+    reshapes straight into the P('data', None, 'model', None) head sharding
+    constrain_heads expects — no per-layer reshard (ADVICE r3 #4).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.conv import get_weight, linear
+
+    B, T, C = xt.shape
+    D = C // n_head
+    mesh = getattr(_local, "mesh", None)
+    n = (mesh.shape["model"]
+         if mesh is not None and "model" in mesh.axis_names else 1)
+    if n <= 1 or n_head % n or "b" in p:
+        return linear(xt, p).reshape(B, T, 3, n_head, D)
+    w = get_weight(p)  # (3C, C): rows (3, H, D) flattened
+    wp = (w.reshape(3, n, n_head // n, D, C)
+           .transpose(1, 0, 2, 3, 4)
+           .reshape(3 * C, C))  # rows (n, 3, H/n, D): shard-major
+    wp = jax.lax.with_sharding_constraint(
+        wp, NamedSharding(mesh, P("model", None)))
+    out = jnp.einsum("btc,oc->bto", xt, wp)
+    out = jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P("data", None, "model")))
+    # invert the shard-major grouping; heads come back in canonical order
+    return (out.reshape(B, T, n, 3, n_head // n, D)
+               .transpose(0, 1, 3, 2, 4, 5)
+               .reshape(B, T, 3, n_head, D))
+
+
 def constrain_heads(x):
     """x: (B, T, H, D) q/k/v — shard H over ``model`` when TP is active.
 
@@ -113,7 +152,15 @@ def tp_spec_for_path(path) -> P | None:
         return None
     mod, name = keys[-3], keys[-2]
     if mod == "attn":
-        return P("model", None) if name == "qkv" else P(None, "model")
+        if name == "qkv":
+            # stored replicated: the packed row order [q|k|v] cannot be
+            # contiguously sharded head-aligned (shard 0 would own all of q
+            # plus part of k, forcing a reshard per layer — ADVICE r3). The
+            # weight is tiny (3C·C); tp_qkv_heads shards a head-block-permuted
+            # VIEW at trace time instead, so the projection output lands
+            # head-local with zero collectives.
+            return None
+        return P(None, "model")
     if mod in ("ffn1", "ffn2"):
         return P("model", None) if name in ("w1", "w3") else P(None, "model")
     return None

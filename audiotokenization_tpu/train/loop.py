@@ -248,6 +248,10 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
             # ('data','model') mesh: batch shards over the data axis only
             from ..parallel.tp import make_dp_tp_mesh
 
+            if n_dev % tp_n:
+                raise ValueError(
+                    f"train.tensor_parallel={tp_n} does not divide the "
+                    f"{n_dev} attached devices")
             if global_bs % (n_dev // tp_n):
                 raise ValueError(
                     f"global batch {global_bs} not divisible by the "
@@ -258,6 +262,13 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
         else:
             print(f"[train] global batch {global_bs} not divisible by "
                   f"{n_dev} devices; running unsharded")
+    elif tp_n > 1:
+        # tensor_parallel configured but no mesh will be built — don't train
+        # unsharded silently (ADVICE r3): a 1-device run with tp=1 semantics
+        # is almost never what a tensor_parallel config intends
+        raise ValueError(
+            f"train.tensor_parallel={tp_n} requires use_mesh=True and >1 "
+            f"devices (have {n_dev}); set tensor_parallel: 1 to run unsharded")
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
     if mesh is not None:
         # Place the state on the mesh BEFORE any Orbax restore: the restore

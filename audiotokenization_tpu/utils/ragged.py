@@ -275,10 +275,7 @@ def make_ragged_codec(cfg: Config):
         lat = _semantic_vq_in_masked(params, cfg, lat, frames, semantic_target)
         zq, codes, _ = C.quantize(params, cfg, lat, training=False)
         if cfg.train.use_semantic:
-            from ..ops.conv import linear
-
-            zq = jnp.swapaxes(linear(jnp.swapaxes(zq, 1, 2),
-                                     params["semantic"]["fc_post_a"]), 1, 2)
+            zq = C.apply_fc_post_a(params, cfg, zq)
         zq = _edge_mask(zq, 0, 1, frames)
         recon = _decode_masked(params["decoder"], d, zq, frames)
         return recon[:, 0], codes

@@ -147,6 +147,37 @@ def test_synthesize_cli_pipeline_parallel(tmp_path):
         np.load(tmp_path / "pp" / "tokens.npy"))
 
 
+def test_synthesize_cli_semantic_paths_agree(tmp_path):
+    """Semantic checkpoints decode fc_post_a(zq) (semantic.py:91): the plain
+    and --pipeline_parallel synthesize paths must produce the SAME audio —
+    a parallelism flag never changes the output (ADVICE r3 medium)."""
+    from audiotokenization_tpu.cli.synthesize import main as synth_main
+    from audiotokenization_tpu.train.checkpoint import CheckpointManager
+    from audiotokenization_tpu.train.state import init_train_state
+
+    cfg = pp_tiny_config()
+    cfg.model.codec_decoder.n_layers = 4
+    cfg.train.use_semantic = True
+    cfg.train.concat_semantic = False
+    run_dir = tmp_path / "run"
+    ckpt = CheckpointManager(str(run_dir), cfg)
+    ckpt.save(init_train_state(jax.random.key(0), cfg))
+    ckpt.wait()
+
+    common = ["--codec_ckpt", str(run_dir), "--random", "--seconds", "0.05",
+              "--num_samples", "2", "--seed", "3"]
+    synth_main(common + ["--out_dir", str(tmp_path / "plain")])
+    synth_main(common + ["--out_dir", str(tmp_path / "pp"),
+                         "--pipeline_parallel", "4"])
+    from audiotokenization_tpu.data.audio_io import read_audio
+
+    for i in range(2):
+        a, _ = read_audio(tmp_path / "plain" / f"sample_{i}.wav")
+        b, _ = read_audio(tmp_path / "pp" / f"sample_{i}.wav")
+        assert np.abs(a).max() > 0  # fc_post_a actually ran (non-trivial out)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_pp_rejects_bad_shapes():
     cfg = pp_tiny_config()
     with pytest.raises(ValueError, match="divisible"):

@@ -74,7 +74,10 @@ def test_tp_shardings_place_megatron_axes():
     enc = sh.gen_params["encoder"]["backbone"]["layers"][0]
     assert "model" in str(enc["ffn1"]["w1"]["w"].spec)
     assert str(enc["ffn1"]["w2"]["w"].spec) == "PartitionSpec(None, 'model')"
-    assert str(enc["attn"]["qkv"]["w"].spec) == "PartitionSpec('model', None)"
+    # qkv stays replicated at rest: a head-block-permuted VIEW is sharded at
+    # trace time instead (tp_qkv_heads), so [q|k|v] packed rows never force a
+    # per-layer reshard of the head-sharded activations
+    assert "model" not in str(enc["attn"]["qkv"]["w"].spec)
     assert str(enc["attn"]["out"]["w"].spec) == "PartitionSpec(None, 'model')"
     # optimizer moments mirror the param placements (path-suffix rule)
     mus = [l for path, l in jax.tree_util.tree_leaves_with_path(
