@@ -156,7 +156,7 @@ def main(argv=None):
         }
 
     usage = Counter()
-    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
     saved_examples = 0
     n_frames_total = 0
     t0 = time.time()
@@ -177,10 +177,6 @@ def main(argv=None):
             pq = M.pesq_metric(gt_i, gen_i, sr)
             if pq is not None:
                 agg["pesq"].append(pq)
-            else:
-                pa = M.pesq_approx(gt_i, gen_i, sr)
-                if np.isfinite(pa):
-                    agg["pesq_approx"].append(pa)
         if saved_examples < args.num_examples:
             i = saved_examples
             write_wav(out_dir / f"example_{i}_gt.wav", gt_i, sr)
@@ -278,10 +274,6 @@ def main(argv=None):
                 pq = M.pesq_metric(gt[j], gen[j], sr)
                 if pq is not None:
                     agg["pesq"].append(pq)
-                else:
-                    pa = M.pesq_approx(gt[j], gen[j], sr)
-                    if np.isfinite(pa):
-                        agg["pesq_approx"].append(pa)
             while saved_examples < args.num_examples and saved_examples < len(gt):
                 i = saved_examples
                 write_wav(out_dir / f"example_{i}_gt.wav", gt[i], sr)
@@ -298,7 +290,6 @@ def main(argv=None):
         "si_sdr": float(np.mean(agg["si_sdr"])) if agg["si_sdr"] else None,
         "stoi": float(np.mean(agg["stoi"])) if agg["stoi"] else None,
         "pesq": float(np.mean(agg["pesq"])) if agg["pesq"] else None,
-        "pesq_approx": float(np.mean(agg["pesq_approx"])) if agg["pesq_approx"] else None,
         "codebook_used": len(usage),
         "codebook_size": cfg.model.codec_decoder.codebook_size,
         "utilization": len(usage) / cfg.model.codec_decoder.codebook_size,

@@ -98,8 +98,8 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
     eval_step = eval_step if eval_step is not None else make_eval_step(cfg, mesh)
     if teacher_params is not None:
         gen_params = {**gen_params, "w2v_bert": teacher_params}
-    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": [],
-           "semantic_recon_loss": []}
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [],
+           "quality_items": [], "semantic_recon_loss": []}
     hist = None
     log_idxs = set(cfg.dataset.val.log_idxs or ())
     for i, batch in enumerate(val_loader):
@@ -132,22 +132,28 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
         if compute_stoi:
             gt = _local_np(out["gt_wav"])[:, 0]
             gen = _local_np(out["gen_wav"])[:, 0]
-            # cap host-metric cost: STOI/PESQ on the first N items per batch
-            # (a deviation from the reference's full-batch torchmetrics
-            # update, controlled by cfg.dataset.val.quality_metric_items)
-            for j in range(min(len(gt), cfg.dataset.val.quality_metric_items)):
+            # cap host-metric cost: STOI/PESQ on a SEEDED RANDOM subset of
+            # quality_metric_items per batch (a deviation from the
+            # reference's full-batch torchmetrics update; always-first-N
+            # would be a biased sample). The subsample size is surfaced as
+            # val_quality_items_used in the emitted metrics.
+            cap = cfg.dataset.val.quality_metric_items
+            if cap >= len(gt):
+                idxs = range(len(gt))
+            else:
+                idxs = np.random.RandomState(
+                    (int(step or 0) << 10) ^ i).choice(len(gt), cap,
+                                                       replace=False)
+            for j in idxs:
+                agg["quality_items"].append(1.0)
                 s = M.stoi(gt[j], gen[j], cfg.dataset.sample_rate)
                 if np.isfinite(s):
                     agg["stoi"].append(s)
+                # pesq_metric: ITU package when importable, else the native
+                # full-P.862 pipeline (train/pesq_p862.py) — always a value
                 p = M.pesq_metric(gt[j], gen[j], cfg.dataset.sample_rate)
                 if p is not None:
                     agg["pesq"].append(p)
-                else:
-                    # no ITU `pesq` package in the environment: report the
-                    # in-repo P.862-style estimator under its own honest key
-                    pa = M.pesq_approx(gt[j], gen[j], cfg.dataset.sample_rate)
-                    if np.isfinite(pa):
-                        agg["pesq_approx"].append(pa)
     return _finalize_validation(
         agg, hist, cfg.model.codec_decoder.codebook_size)
 
@@ -172,7 +178,13 @@ def _finalize_validation(agg, hist, codebook_size):
     total = reduce_validation_aggregates(local)
     sums, counts = total[:len(keys)], total[len(keys):2 * len(keys)]
     results = {f"val_{k}": float(sums[i] / counts[i])
-               for i, k in enumerate(keys) if counts[i] > 0}
+               for i, k in enumerate(keys)
+               if counts[i] > 0 and k != "quality_items"}
+    if "quality_items" in keys and counts[keys.index("quality_items")] > 0:
+        # surface the STOI/PESQ subsample size (global count across
+        # processes) so the quality_metric_items cap is visible in the JSONL
+        results["val_quality_items_used"] = float(
+            counts[keys.index("quality_items")])
     hj = jnp.asarray(total[2 * len(keys):])
     if float(jnp.sum(hj)) > 0:
         results["val_codebook_perplexity"] = float(M.perplexity_from_histogram(hj))
@@ -451,7 +463,7 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
         print(f"[test] ragged full-length path unavailable ({exc}); skipping "
               "the test phase")
         return {"test_skipped_ragged_unavailable": 1.0}
-    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": [], "pesq_approx": []}
+    agg = {"si_snr": [], "si_sdr": [], "stoi": [], "pesq": []}
     hist = np.zeros(cfg.model.codec_decoder.codebook_size, np.int64)
     for i, batch in enumerate(test_loader):
         if max_batches is not None and i >= max_batches:
@@ -477,9 +489,5 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
         p = M.pesq_metric(w, gen, sr)
         if p is not None:
             agg["pesq"].append(p)
-        else:
-            pa = M.pesq_approx(w, gen, sr)
-            if np.isfinite(pa):
-                agg["pesq_approx"].append(pa)
     res = _finalize_validation(agg, hist, cfg.model.codec_decoder.codebook_size)
     return {k.replace("val_", "test_"): v for k, v in res.items()}

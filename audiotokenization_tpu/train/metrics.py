@@ -12,9 +12,11 @@ CodebookUtilization (:53-73, max-reduced used-code bitmap).
   dist_reduce_fx="sum"/"max" equivalent).
 - STOI is implemented from the published algorithm (Taal et al. 2011) in
   numpy as a host metric (the reference also computes it on CPU tensors).
-- PESQ (ITU-T P.862) has no implementation in this image; `pesq_metric`
-  returns None unless the optional `pesq` package is importable, mirroring
-  the reference's soft handling of PESQ errors (lightning_module.py:428-431).
+- PESQ (ITU-T P.862): `pesq_metric` prefers the ITU `pesq` package when it
+  is importable (the conformance oracle) and otherwise runs the in-repo
+  full-pipeline implementation (train/pesq_p862.py) — so a `pesq` value is
+  always produced, like the reference's torchmetrics PESQ
+  (lightning_module.py:214-222).
 """
 from __future__ import annotations
 
@@ -218,145 +220,24 @@ def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
 
 def pesq_metric(target: np.ndarray, est: np.ndarray, fs: int = 16000,
                 mode: str = "wb") -> Optional[float]:
-    """PESQ via the optional `pesq` package; None when unavailable."""
+    """PESQ MOS-LQO: the ITU `pesq` package when importable (the oracle),
+    otherwise the in-repo full-P.862 implementation (train/pesq_p862.py —
+    level + time alignment, utterance splitting, Bark loudness, asymmetric
+    disturbance, P.862.2 wb / P.862.1 nb mapping). Returns None only for
+    degenerate inputs (too short / silent), mirroring the reference's soft
+    PESQ error handling (lightning_module.py:428-431)."""
+    t = np.asarray(target, np.float32).ravel()
+    e = np.asarray(est, np.float32).ravel()
     try:
-        from pesq import pesq as _pesq, NoUtterancesError
+        from pesq import pesq as _pesq  # noqa: F401
+
+        try:
+            return float(_pesq(fs, t, e, mode))
+        except Exception:
+            return None
     except ImportError:
-        return None
-    try:
-        return float(_pesq(fs, np.asarray(target, np.float32).ravel(),
-                           np.asarray(est, np.float32).ravel(), mode))
-    except Exception:
-        return None
+        pass
+    from .pesq_p862 import pesq_p862
 
-
-# ---------------------------------------------------------------------------
-# PESQ-style perceptual quality (approximate P.862, zero-delay)
-# ---------------------------------------------------------------------------
-
-_PESQ_SP = None  # lazily built (bark filterbank, thresholds)
-
-
-def _pesq_tables(fs: int, nfft: int):
-    """Bark filterbank + absolute hearing threshold for the perceptual model.
-
-    Band layout: 0.5-Bark-wide bands over [50 Hz, fs/2) on the Zwicker scale
-    bark(f) = 13 atan(0.00076 f) + 3.5 atan((f/7500)^2); threshold in quiet
-    from Terhardt's approximation. (The ITU reference uses fixed tables; this
-    construction matches their structure, not their exact values — see
-    pesq_approx docstring.)
-    """
-    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
-
-    def bark(f):
-        return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
-
-    top = bark(np.array([fs / 2.0]))[0]
-    edges_b = np.arange(bark(np.array([50.0]))[0], top, 0.5)
-    nb = len(edges_b) - 1
-    fb = bark(freqs)
-    band_of = np.digitize(fb, edges_b) - 1  # -1 = below first band
-    W = np.zeros((nb, len(freqs)))
-    for j in range(nb):
-        sel = band_of == j
-        if sel.any():
-            W[j, sel] = 1.0 / sel.sum()  # mean power in band
-    centers_b = 0.5 * (edges_b[:-1] + edges_b[1:])
-    # invert bark() for center frequencies (monotonic; simple bisection grid)
-    fg = np.linspace(1.0, fs / 2.0, 4096)
-    centers_f = np.interp(centers_b, bark(fg), fg)
-    thr_db = (3.64 * (centers_f / 1000.0) ** -0.8
-              - 6.5 * np.exp(-0.6 * (centers_f / 1000.0 - 3.3) ** 2)
-              + 1e-3 * (centers_f / 1000.0) ** 4)
-    thr_pow = 10.0 ** (np.clip(thr_db, -20, 60) / 10.0)
-    widths = np.diff(edges_b)
-    return W, thr_pow, widths
-
-
-def pesq_approx(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
-    """Approximate PESQ (ITU-T P.862 perceptual model, wideband mapping).
-
-    Implements the published P.862 structure — level alignment, Hann-framed
-    power spectra, 0.5-Bark loudness densities (Zwicker 0.23 compression),
-    partial gain equalization, deadzone + asymmetry-weighted disturbance,
-    L6-over-super-intervals / L2-over-time aggregation, and the P.862.2
-    wideband logistic mapping — under a ZERO-DELAY assumption (codec
-    reconstructions are sample-aligned, so the ITU time-alignment stage is
-    an identity here). It is NOT the ITU reference implementation and is not
-    conformance-tested against it (no PESQ oracle exists in this image);
-    scores are reported as `pesq_approx`, never as `pesq`. Validated for:
-    max score on identical signals, monotone decrease under rising noise,
-    level invariance (tests/test_metrics.py).
-    """
-    x = np.asarray(target, np.float64).ravel()
-    y = np.asarray(est, np.float64).ravel()
-    n = min(len(x), len(y))
-    if n < fs // 4:
-        return float("nan")
-    x, y = x[:n], y[:n]
-    # --- level alignment to a common active power
-    def align(s):
-        p = np.mean(s * s) + 1e-20
-        return s * np.sqrt(1.0 / p)
-
-    x, y = align(x), align(y)
-    nfft = 512 if fs == 16000 else 256
-    hop = nfft // 2
-    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)
-    global _PESQ_SP
-    if _PESQ_SP is None or _PESQ_SP[0] != (fs, nfft):
-        _PESQ_SP = ((fs, nfft), _pesq_tables(fs, nfft))
-    W, thr, widths = _PESQ_SP[1]
-
-    def bark_power(s):
-        nfr = 1 + (len(s) - nfft) // hop
-        idx = np.arange(nfft)[None, :] + hop * np.arange(nfr)[:, None]
-        F = np.fft.rfft(s[idx] * win[None, :], axis=1)
-        P = (F.real ** 2 + F.imag ** 2) / nfft
-        return P @ W.T  # (frames, bands)
-
-    Px, Py = bark_power(x), bark_power(y)
-    # silent-frame gate on the reference (active speech only)
-    fe = Px.sum(axis=1)
-    active = fe > (fe.max() * 1e-4)
-    if active.sum() < 4:
-        return float("nan")
-    Px, Py = Px[active], Py[active]
-    # scale spectra so mean active band power sits at the model operating
-    # point (the ITU calibration step), then partially equalize the degraded
-    # signal's per-band gain toward the reference (transducer compensation)
-    scale = 1e4 / (Px.mean() + 1e-20)
-    Px, Py = Px * scale, Py * scale
-    ratio = (Px.mean(axis=0) + 1000.0) / (Py.mean(axis=0) + 1000.0)
-    Py = Py * np.clip(ratio, 0.01, 100.0)[None, :]
-
-    def loudness(P):
-        return ((thr / 0.5) ** 0.23
-                * ((0.5 + 0.5 * P / thr) ** 0.23 - 1.0))
-
-    Lx, Ly = loudness(Px), loudness(Py)
-    d = np.abs(Ly - Lx)
-    dead = 0.25 * np.minimum(Ly, Lx)
-    d = np.maximum(d - dead, 0.0)
-    # asymmetry factor: added distortion is worse than removed
-    h = ((Py + 50.0) / (Px + 50.0)) ** 1.2
-    h = np.where(h < 3.0, 0.0, np.minimum(h, 12.0))
-    d_sym_frame = np.sqrt(np.sum((d * widths[None, :]) ** 2, axis=1))
-    d_asy_frame = np.sum(d * h * widths[None, :], axis=1)
-
-    def l6_l2(df):
-        m = len(df)
-        step = 10
-        sup = [np.mean(df[i:i + 2 * step] ** 6) ** (1 / 6)
-               for i in range(0, m, step)]
-        return float(np.sqrt(np.mean(np.square(sup))))
-
-    D, DA = l6_l2(d_sym_frame), l6_l2(d_asy_frame)
-    # Coefficients calibrated for THIS model's disturbance scale (the ITU
-    # 0.1/0.0309 pair assumes their fixed-table loudness units): chosen so
-    # speech-shaped signals under white noise / lowpass degradations land at
-    # published wb-PESQ-shaped anchors — identical 4.64, SNR30 ~4.3,
-    # SNR20 ~3.5, SNR10 ~1.8, 3 kHz lowpass ~3.0 (see test_metrics.py).
-    raw = 4.5 - 0.65 * D - 0.0015 * DA
-    # P.862.2 wideband logistic mapping to MOS-LQO
-    return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+    v = pesq_p862(t, e, fs=fs, mode=mode)
+    return None if math.isnan(v) else float(v)

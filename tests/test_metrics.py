@@ -62,12 +62,17 @@ def test_stoi_behaviour():
     assert 0.0 <= s2 < 0.85
 
 
-def test_pesq_approx_behavior():
-    """P.862-style estimator: max on identical, monotone under noise,
-    level-invariant, penalizes bandwidth loss."""
+def test_pesq_native_behavior():
+    """Native full-P.862 (train/pesq_p862.py, via the pesq_metric dispatch):
+    max on identical, monotone under noise, level-invariant, penalizes
+    bandwidth loss. Conformance + alignment tests live in
+    test_pesq_conformance.py."""
     import numpy as np
 
-    from audiotokenization_tpu.train.metrics import pesq_approx
+    def pesq_approx(a, b, fs=16000):
+        from audiotokenization_tpu.train.metrics import pesq_metric
+
+        return pesq_metric(a, b, fs)
 
     rng = np.random.RandomState(0)
     fs, n = 16000, 2 * 16000

@@ -444,7 +444,7 @@ def test_finalize_validation_vector_length_is_process_independent():
             return vec
         return f
 
-    keys = ["pesq", "pesq_approx", "semantic_recon_loss", "si_sdr", "si_snr",
+    keys = ["pesq", "quality_items", "semantic_recon_loss", "si_sdr", "si_snr",
             "stoi"]
     empty = {k: [] for k in keys}
     full = {k: [1.0] for k in keys}
