@@ -217,9 +217,15 @@ def main(argv=None):
     # fix, and it is used even at batch_size=1: bucketing via the per-sample
     # edge mask avoids one XLA compile per unique file length.
     enc_cfg = cfg.model.codec_encoder
-    batched = (sp_tok is None and not args.exact and sem_dir is None
-               and enc_cfg.type == "bigcodec"
-               and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional)
+    ragged_ok = (
+        (enc_cfg.type == "bigcodec"
+         and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional))
+        # conformer: exact masked attention/conv path (utils/ragged.py);
+        # 'balanced' splits the bigcodec conv front and has no conformer
+        # variant, so that one mode stays per-file
+        or (enc_cfg.type == "conformer_stft" and args.mode != "balanced"))
+    batched = (sp_tok is None and not args.tensor_parallel and not args.exact
+               and sem_dir is None and ragged_ok
                and not (cfg.train.use_semantic and cfg.train.concat_semantic))
     if batched:
         from ..utils.ragged import make_ragged_tokenizer

@@ -25,12 +25,18 @@ from ..ops.transformer import (conformer_backbone, init_conformer_backbone,
 
 def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
                      n_head=8, rope_theta=10000.0, max_seq_len=8192,
-                     causal=False, remat=False, backbone_fn=None):
+                     causal=False, remat=False, backbone_fn=None, valid=None):
     """x: (B, 1, T) -> (B, out_channels, T/hop) latents.
 
     backbone_fn: optional replacement for the sequential backbone call —
     the hook parallel/pp.py uses to run the layer stack as a GPipe-style
     pipeline over a 'pipe' mesh axis. Signature (h, backbone_params) -> h.
+
+    valid: optional (B,) per-sample frame counts for ragged zero-padded
+    batches (utils/ragged.py). The STFT front is exact for valid frames
+    without masking — its constant pad is zero, matching the batch's zero
+    tail — so only the backbone needs the mask (attention keys + conv
+    edges); latents at pad frames are meaningless and trimmed per sample.
     """
     wav = x[:, 0, :]
     spec = stft_same_constant_pad(wav, n_fft=n_fft, hop_length=hop_length,
@@ -48,31 +54,39 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
     else:
         h = conformer_backbone(h, params["backbone"], n_head=n_head,
                                rope_theta=rope_theta, max_seq_len=max_seq_len,
-                               conv_first=True, causal=causal, remat=remat)
+                               conv_first=True, causal=causal, remat=remat,
+                               valid=valid)
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["norm"]), 1, 2)
     if "output_proj" in params:
         h = conv1d(h, get_weight(params["output_proj"]), params["output_proj"].get("b"))
     return h
 
 
-def istft_head(params, x, *, n_fft: int, hop_length: int):
-    """ISTFTHead (codec_decoder.py:229-274). x: (B, T, dim) -> (B, 1, L)."""
+def istft_head(params, x, *, n_fft: int, hop_length: int, valid=None):
+    """ISTFTHead (codec_decoder.py:229-274). x: (B, T, dim) -> (B, 1, L).
+
+    valid: optional (B,) frame counts — pad-frame spectra are zeroed (they
+    then contribute nothing to the overlap-add, exactly like per-file
+    processing where those frames don't exist) and the NOLA envelope is
+    computed per sample over its own frame count (istft_same)."""
     pred = linear(x, params)  # (B, T, n_fft + 2)
     pred = jnp.swapaxes(pred, 1, 2)  # (B, n_fft+2, T)
     mag, phase = jnp.split(pred, 2, axis=1)
     mag = jnp.minimum(jnp.exp(mag), 1e2)
     spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
-    audio = istft_same(spec, n_fft=n_fft, hop_length=hop_length, win_length=n_fft)
+    audio = istft_same(spec, n_fft=n_fft, hop_length=hop_length,
+                       win_length=n_fft, valid=valid)
     return audio[:, None, :]
 
 
 def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
                      rope_theta=10000.0, max_seq_len=8192, causal=False,
-                     remat=False, backbone_fn=None):
+                     remat=False, backbone_fn=None, valid=None):
     """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform.
 
     backbone_fn: optional pipeline-parallel backbone hook (parallel/pp.py),
-    as in conformer_encode.
+    as in conformer_encode. valid: optional (B,) ragged frame counts
+    (masked backbone + per-sample ISTFT envelope).
     """
     if "input_proj" in params:
         x = conv1d(x, get_weight(params["input_proj"]), params["input_proj"].get("b"))
@@ -81,9 +95,11 @@ def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
     else:
         x = conformer_backbone(x, params["backbone"], n_head=n_head,
                                rope_theta=rope_theta, max_seq_len=max_seq_len,
-                               conv_first=False, causal=causal, remat=remat)
+                               conv_first=False, causal=causal, remat=remat,
+                               valid=valid)
     x = rms_norm(jnp.swapaxes(x, 1, 2), params["norm"])  # (B, T, dim)
-    return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length)
+    return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length,
+                      valid=valid)
 
 
 def init_conformer_encoder(key, *, n_fft=800, dim=256, n_layers=6, n_head=8,

@@ -88,12 +88,19 @@ def stft_same_constant_pad(x, *, n_fft: int, hop_length: int, win_length: int,
 
 
 def istft_same(spec, *, n_fft: int, hop_length: int, win_length: int,
-               window=None):
+               window=None, valid=None):
     """"Same"-padding ISTFT with NOLA normalization (vq/codec_decoder.py:145-213).
 
     spec: complex (B, F, T_frames) -> (B, L), L = T_frames * hop (for the
     codec's aligned shapes). Overlap-add is expressed as a transposed strided
     scatter via segment-sum-free padding arithmetic.
+
+    valid: optional (B,) per-sample frame counts for ragged batches — pad
+    frames contribute zero to the overlap-add (adding 0.0 is exact, so the
+    numerator equals per-file processing bit for bit) and the NOLA window
+    envelope is accumulated per sample over its own frames (the per-file
+    envelope has fewer window^2 contributions near each sample's true end).
+    Positions past a sample's frames are meaningless (trim per sample).
     """
     if window is None:
         window = hann_window(win_length)
@@ -103,15 +110,24 @@ def istft_same(spec, *, n_fft: int, hop_length: int, win_length: int,
     ifft = ifft * window[None, :, None]
 
     output_size = (T - 1) * hop_length + win_length
-    # overlap-add: out[t*hop + j] += frame[t, j]
     frames = jnp.swapaxes(ifft, 1, 2)  # (B, T, n_fft)
-    out = _overlap_add(frames, hop_length, output_size)
-
-    env_frames = jnp.broadcast_to((window * window)[None, :], (T, win_length))
-    env = _overlap_add(env_frames[None], hop_length, output_size)[0]
-
+    w2 = window * window
+    if valid is None:
+        out = _overlap_add(frames, hop_length, output_size)
+        env = _overlap_add(jnp.broadcast_to(w2[None, :], (T, win_length))[None],
+                           hop_length, output_size)[0]
+        env = env[None]
+    else:
+        fmask = (jnp.arange(T)[None, :]
+                 < jnp.asarray(valid)[:, None]).astype(frames.dtype)  # (B, T)
+        out = _overlap_add(frames * fmask[:, :, None], hop_length, output_size)
+        env = _overlap_add(w2[None, None, :] * fmask[:, :, None],
+                           hop_length, output_size)  # (B, output_size)
+        # positions past a sample's own frames have zero envelope; clamp so
+        # the (meaningless, trimmed) tail stays finite
+        env = jnp.maximum(env, jnp.finfo(env.dtype).tiny)
     out = out[:, pad:-pad] if pad > 0 else out
-    env = env[pad:-pad] if pad > 0 else env
+    env = env[:, pad:-pad] if pad > 0 else env
     return out / env
 
 

@@ -61,11 +61,23 @@ def apply_rope(x, cos, sin):
     return out.astype(dtype)
 
 
+def _frame_mask(valid, T):
+    """(B,) per-sample valid frame counts -> (B, T) bool keep-mask."""
+    return jnp.arange(T)[None, :] < jnp.asarray(valid)[:, None]
+
+
 def self_attention(x, p, cos, sin, *, n_head: int, causal: bool = False,
-                   deterministic: bool = True, dropout: float = 0.0, rng=None):
+                   deterministic: bool = True, dropout: float = 0.0, rng=None,
+                   valid=None):
     """Fused-qkv attention with qk-rmsnorm + RoPE (vq/module.py:399-453).
 
     x: (B, C, T) -> (B, C, T). p: {qkv: {w}, out: {w}}.
+
+    valid: optional (B,) per-sample frame counts for ragged batches — pad
+    keys are masked out of the softmax so each sample's attention equals
+    processing its own exact length alone (utils/ragged.py conformer path).
+    Outputs at pad QUERY positions are meaningless (softmax over the same
+    valid keys); callers re-mask them before any cross-frame op.
     """
     B, C, T = x.shape
     xt = jnp.swapaxes(x, 1, 2)  # (B, T, C)
@@ -84,7 +96,9 @@ def self_attention(x, p, cos, sin, *, n_head: int, causal: bool = False,
     k = apply_rope(k, cos, sin)
 
     q, k, v = constrain_heads(q), constrain_heads(k), constrain_heads(v)
-    out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+    mask = (None if valid is None
+            else _frame_mask(valid, T)[:, None, None, :])  # (B, 1, 1, Tk)
+    out = jax.nn.dot_product_attention(q, k, v, mask=mask, is_causal=causal)
     if not deterministic and dropout > 0.0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, out.shape)
         out = jnp.where(keep, out / (1.0 - dropout), 0.0)
@@ -104,14 +118,21 @@ def feed_forward(x, p):
     return linear(jax.nn.silu(linear(x, p["w1"])) * linear(x, p["w3"]), p["w2"])
 
 
-def conformer_conv_module(x, p, *, causal: bool = False):
+def conformer_conv_module(x, p, *, causal: bool = False, valid=None):
     """1x1 -> GLU -> depthwise k conv -> RMSNorm -> SiLU -> 1x1 (vq/module.py:472-494).
 
     x: (B, C, T) -> (B, C, T).
+
+    valid: optional (B,) frame counts — pad frames are zeroed between the
+    GLU and the depthwise conv (pw1's bias makes them nonzero even for a
+    zeroed input), so the k-wide conv reads exactly the per-file zero
+    padding at each sample's true edge (ragged exactness).
     """
     out = conv1d(x, get_weight(p["pw1"]), p["pw1"].get("b"))  # (B, 2C, T)
     a, b = jnp.split(out, 2, axis=1)
     out = a * jax.nn.sigmoid(b)  # GLU over channel dim
+    if valid is not None:
+        out = out * _frame_mask(valid, out.shape[-1])[:, None, :].astype(out.dtype)
     dw = get_weight(p["dw"])
     k = dw.shape[-1]
     groups = dw.shape[0]
@@ -127,22 +148,24 @@ def conformer_conv_module(x, p, *, causal: bool = False):
 
 
 def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
-                    causal: bool = False):
+                    causal: bool = False, valid=None):
     """Pre-norm residual {conv|attn, ffn1, attn|conv, ffn2} (vq/module.py:496-526).
 
     Plain residual adds — the reference deliberately has no half-step FFN
-    scaling. x: (B, C, T).
+    scaling. x: (B, C, T). valid: optional (B,) ragged frame counts
+    (masked attention keys + conv-module edge zeroing; per-frame ops need
+    no masking).
     """
     def norm_t(x, w):
         return jnp.swapaxes(rms_norm(jnp.swapaxes(x, 1, 2), w), 1, 2)
 
     def attn(x):
         return x + self_attention(norm_t(x, p["attn_norm"]), p["attn"], cos, sin,
-                                  n_head=n_head, causal=causal)
+                                  n_head=n_head, causal=causal, valid=valid)
 
     def conv(x):
         return x + conformer_conv_module(norm_t(x, p["conv_norm"]), p["conv"],
-                                         causal=causal)
+                                         causal=causal, valid=valid)
 
     def ffn(x, fp, w):
         y = rms_norm(jnp.swapaxes(x, 1, 2), w)
@@ -163,10 +186,12 @@ def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
 
 def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
                        max_seq_len: int = 8192, conv_first: bool = False,
-                       causal: bool = False, cos_sin=None, remat: bool = False):
+                       causal: bool = False, cos_sin=None, remat: bool = False,
+                       valid=None):
     """Stack of conformer layers with a shared sliced RoPE table (vq/module.py:528-547).
 
     remat=True checkpoints each layer (activation recompute in backward).
+    valid: optional (B,) ragged frame counts, threaded to every layer.
     """
     import functools
 
@@ -177,7 +202,8 @@ def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
         cos, sin = cos_sin
     cos, sin = cos[:T], sin[:T]
     layer_fn = functools.partial(conformer_layer, n_head=n_head,
-                                 conv_first=conv_first, causal=causal)
+                                 conv_first=conv_first, causal=causal,
+                                 valid=valid)
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     for layer_p in p["layers"]:

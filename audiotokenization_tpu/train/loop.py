@@ -452,12 +452,14 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
     if teacher_params is not None:
         gen_params = {**gen_params, "w2v_bert": teacher_params}
     sr = cfg.dataset.sample_rate
-    hop = int(np.prod(cfg.model.codec_decoder.up_ratios))
+    hop = (cfg.model.codec_encoder.hop_length
+           if cfg.model.codec_encoder.type == "conformer_stft"
+           else int(np.prod(cfg.model.codec_decoder.up_ratios)))
     quantum = max(sr // hop * hop, hop)
     try:
         ragged = make_ragged_codec(cfg)
     except NotImplementedError as exc:
-        # conformer / bidirectional-RNN configs have no exact ragged path;
+        # bidirectional-RNN bigcodec configs have no exact ragged path;
         # surface an explicit marker instead of crashing the END of a long
         # training run (use cli/inference_full --batch_size 1 instead)
         print(f"[test] ragged full-length path unavailable ({exc}); skipping "

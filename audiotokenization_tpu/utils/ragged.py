@@ -14,9 +14,17 @@ the batched computation identical to processing each (hop-padded) file
 alone — tokens byte-exact, waveforms to fp32 rounding — asserted in
 tests/test_ragged_batch.py.
 
-Restrictions for exactness: bigcodec encoder/decoder, unidirectional (or no)
-RNN (trailing zeros must not influence earlier frames). Antialias configs
-(cfgs/config11) ARE exact here via `_MaskedAA`: the per-file computation
+Exactness coverage: bigcodec encoder/decoder with unidirectional (or no)
+RNN (a bidirectional RNN reads the zero tail, so that one family stays
+per-file), AND the conformer family (conformer_stft / conformer_istft):
+attention gets per-sample key masks, the conv module a pre-depthwise edge
+zeroing (ops/transformer.py valid=...), the STFT front is exact unmasked
+(its constant pad is zero, same as the batch's zero tail), and the ISTFT
+head zeroes pad-frame spectra + accumulates the NOLA envelope per sample
+(ops/stft.istft_same valid=...) — so the reference's full-length batch-1
+eval policy (config/dataset/default.yaml:17-21, incl. the config1
+conformer run) is covered by bucketed batches for every config family.
+Antialias configs (cfgs/config11) ARE exact here via `_MaskedAA`: the per-file computation
 replicate-pads at the clip edge inside every Activation1d resampling filter
 (alias_free_torch/filter.py replicate pad), so plain re-zeroing is wrong at
 the tail; instead the tail is REPLICATED from the last valid position before
@@ -37,9 +45,10 @@ from ..parallel.sp import _conv_front, _edge_mask
 
 
 def _check_exactness(part, name: str):
+    if part.type in ("conformer_stft", "conformer_istft"):
+        return  # exact masked path: _conformer_encode/decode_masked
     if part.type != "bigcodec":
-        raise NotImplementedError(f"ragged batching requires the bigcodec "
-                                  f"{name} (conformer attention is global)")
+        raise NotImplementedError(f"no ragged path for {name} type {part.type}")
     if part.use_rnn and part.rnn_bidirectional:
         raise NotImplementedError("bidirectional RNN reads the zero tail; "
                                   "ragged batching would not be exact")
@@ -168,6 +177,18 @@ def _finish_masked(enc_p, e, lat, lengths, hop):
 
 
 def _encode_masked(enc_p, e, wavs, lengths, hop):
+    if e.type == "conformer_stft":
+        from ..models.conformer import conformer_encode
+
+        # STFT front is exact for valid frames without masking (constant
+        # ZERO pad == the batch's zero tail); the backbone gets per-sample
+        # attention-key masks + conv-edge zeroing (ops/transformer.py);
+        # latents at pad frames are garbage, masked/trimmed by the caller.
+        return conformer_encode(
+            enc_p, wavs[:, None, :], hop_length=e.hop_length, n_fft=e.n_fft,
+            window_size=e.window_size, n_head=e.n_head,
+            rope_theta=e.rope_theta, max_seq_len=e.max_seq_len,
+            causal=e.causal, valid=lengths // hop)
     lat = _conv_front(enc_p, e, wavs[:, None, :], 0, lengths,
                       aa_factory=_aa_factory(e, lengths))
     return _finish_masked(enc_p, e, lat, lengths, hop)
@@ -175,6 +196,22 @@ def _encode_masked(enc_p, e, wavs, lengths, hop):
 
 def _decode_masked(dec, d, z, frames):
     """Batched decoder with per-sample frame bounds (frames (B,)).
+
+    conformer_istft: masked backbone + per-sample NOLA envelope
+    (models/conformer.conformer_decode valid=...); bigcodec: the edge-masked
+    conv stack below."""
+    if d.type == "conformer_istft":
+        from ..models.conformer import conformer_decode
+
+        return conformer_decode(
+            dec, z, hop_length=d.hop_length, n_fft=d.n_fft, n_head=d.n_head,
+            rope_theta=d.rope_theta, max_seq_len=d.max_seq_len,
+            causal=d.causal, valid=frames)
+    return _decode_masked_bigcodec(dec, d, z, frames)
+
+
+def _decode_masked_bigcodec(dec, d, z, frames):
+    """Batched bigcodec decoder with per-sample frame bounds (frames (B,)).
 
     Same structure as bigcodec.bigcodec_decode with `_edge_mask` after every
     spatial op so each sample's computation equals decoding its own exact
@@ -220,7 +257,12 @@ def make_ragged_tokenizer(cfg: Config, *, mode: str = "conformant"):
     _check_exactness(e, "encoder")
     if mode not in ("conformant", "high", "fast", "balanced"):
         raise ValueError(f"unknown tokenize mode {mode!r}")
-    hop = int(np.prod(e.up_ratios))
+    conformer = e.type == "conformer_stft"
+    if conformer and mode == "balanced":
+        raise ValueError("balanced tokenize mode splits the bigcodec conv "
+                         "front from the LSTM/tail; use conformant/high/fast "
+                         "for conformer checkpoints")
+    hop = e.hop_length if conformer else int(np.prod(e.up_ratios))
 
     @jax.jit
     def run(params, wavs, lengths, semantic_target=None):
@@ -265,7 +307,8 @@ def make_ragged_codec(cfg: Config):
     e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
     _check_exactness(e, "encoder")
     _check_exactness(d, "decoder")
-    hop = int(np.prod(e.up_ratios))
+    hop = (e.hop_length if e.type == "conformer_stft"
+           else int(np.prod(e.up_ratios)))
 
     @jax.jit
     def run(params, wavs, lengths, semantic_target=None):
