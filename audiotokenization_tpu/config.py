@@ -169,6 +169,16 @@ class TrainConfig:
     # Requires a conformer encoder/decoder with heads/dims divisible by it;
     # composes with fsdp (non-TP leaves shard over 'data').
     tensor_parallel: int = 1
+    # GPipe pipeline parallelism for conformer backbones (beyond the
+    # reference — SURVEY §2.8): devices reshape to a ('data', 'pipe') mesh;
+    # the layer stack splits into `pipeline_parallel` contiguous stages with
+    # activations ppermute-streamed between neighbors (parallel/pp.py), the
+    # depth-scaling axis for stacks that exceed one chip's HBM. 1 = off.
+    # Requires conformer encoder/decoder layer counts divisible by it.
+    pipeline_parallel: int = 1
+    # microbatches per GPipe tick (0 = one per stage). More microbatches
+    # amortize the P-1 warm-up bubble; must divide the global batch.
+    pipeline_microbatches: int = 0
     # non-finite step guard (beyond the reference): when a side's total loss
     # is NaN/inf, keep that side's params/opt-state instead of applying the
     # poisoned update (a jnp.where select inside the step — no host sync).

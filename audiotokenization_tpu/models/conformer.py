@@ -49,6 +49,16 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
     feats = feats.astype(w_in.dtype)
     h = conv1d(feats, w_in, params["input_proj"].get("b"))
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["input_norm"]), 1, 2)
+    if backbone_fn is None and valid is None:
+        # stock-loop pipeline parallelism: inside a pp_train_context the
+        # backbone runs as a GPipe pipeline over the 'pipe' mesh axis
+        # (identity otherwise; ragged `valid` eval stays sequential)
+        from ..parallel.pp import maybe_pp_backbone
+
+        backbone_fn = maybe_pp_backbone(
+            params["backbone"], dim=h.shape[1], n_head=n_head,
+            rope_theta=rope_theta, max_seq_len=max_seq_len,
+            conv_first=True, causal=causal)
     if backbone_fn is not None:
         h = backbone_fn(h, params["backbone"])
     else:
@@ -90,6 +100,13 @@ def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
     """
     if "input_proj" in params:
         x = conv1d(x, get_weight(params["input_proj"]), params["input_proj"].get("b"))
+    if backbone_fn is None and valid is None:
+        from ..parallel.pp import maybe_pp_backbone
+
+        backbone_fn = maybe_pp_backbone(
+            params["backbone"], dim=x.shape[1], n_head=n_head,
+            rope_theta=rope_theta, max_seq_len=max_seq_len,
+            conv_first=False, causal=causal)
     if backbone_fn is not None:
         x = backbone_fn(x, params["backbone"])
     else:

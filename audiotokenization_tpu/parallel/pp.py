@@ -45,6 +45,85 @@ def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_stages]), axis_names=("pipe",))
 
 
+def make_dp_pipe_mesh(n_pipe: int, devices=None) -> Mesh:
+    """2-D mesh for pipeline-parallel TRAINING: data-parallel outer axis x
+    pipeline-stage inner axis (stage neighbors on the fastest ICI hops, like
+    tp.make_dp_tp_mesh's model axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_pipe:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by pipeline_parallel={n_pipe}")
+    arr = np.asarray(devices).reshape(len(devices) // n_pipe, n_pipe)
+    return Mesh(arr, axis_names=("data", "pipe"))
+
+
+def validate_pp(cfg, n_pipe: int) -> None:
+    """Fail fast on non-conformer configs / indivisible layer counts."""
+    sides = []
+    if cfg.model.codec_encoder.type == "conformer_stft":
+        sides.append(("encoder", cfg.model.codec_encoder.n_layers))
+    if cfg.model.codec_decoder.type == "conformer_istft":
+        sides.append(("decoder", cfg.model.codec_decoder.n_layers))
+    if not sides:
+        raise ValueError(
+            "pipeline_parallel>1 requires a conformer encoder or decoder; "
+            "the BigCodec conv family scales via data/FSDP/sequence "
+            "parallelism (parallel/mesh.py, parallel/sp.py)")
+    for side, n_layers in sides:
+        if n_layers % n_pipe:
+            raise ValueError(f"{side}: n_layers={n_layers} not divisible by "
+                             f"pipeline_parallel={n_pipe}")
+
+
+# ---------------------------------------------------------------------------
+# Trace-time context: the stock train step pipelines conformer backbones
+# (models/conformer.py consults maybe_pp_backbone when no explicit
+# backbone_fn is passed) — the pp analogue of tp.tp_shard_activations.
+# ---------------------------------------------------------------------------
+
+import contextlib
+import threading
+
+_local = threading.local()
+
+
+@contextlib.contextmanager
+def pp_train_context(mesh: Mesh, n_micro: int | None = None):
+    """Inside this trace-time context, conformer backbones run as GPipe
+    pipelines over the mesh's 'pipe' axis. Enter it INSIDE the jitted step
+    so the schedule is baked into the traced program (train/step.py)."""
+    prev = getattr(_local, "ctx", None)
+    _local.ctx = (mesh, n_micro)
+    try:
+        yield
+    finally:
+        _local.ctx = prev
+
+
+def maybe_pp_backbone(backbone_params, *, dim: int, n_head: int,
+                      rope_theta: float, max_seq_len: int, conv_first: bool,
+                      causal: bool):
+    """Return a pipeline backbone_fn when a pp_train_context is active,
+    else None. The per-layer params are stage-stacked INSIDE the traced
+    program (one jnp.stack per leaf — gradients flow back through the stack
+    to the unstacked state leaves, so the TrainState/checkpoint layout is
+    identical to sequential training)."""
+    ctx = getattr(_local, "ctx", None)
+    if ctx is None:
+        return None
+    mesh, n_micro = ctx
+    from ..ops.transformer import precompute_rope
+
+    n_stages = mesh.shape["pipe"]
+    stacked = stack_stage_params(backbone_params, n_stages)
+    stacked = jax.lax.with_sharding_constraint(
+        stacked, NamedSharding(mesh, P("pipe")))
+    cos, sin = precompute_rope(dim // n_head, max_seq_len, rope_theta)
+    return pp_backbone_fn(mesh, stacked, n_head=n_head, cos=cos, sin=sin,
+                          conv_first=conv_first, causal=causal,
+                          n_micro=n_micro)
+
+
 def stack_stage_params(backbone_params, n_stages: int):
     """List-of-layer param dicts -> one pytree with leaves
     (n_stages, layers_per_stage, ...): stage s holds layers
@@ -115,8 +194,12 @@ def pp_backbone_fn(mesh: Mesh, stacked, *, n_head: int, cos, sin,
             # writes `results` (zeros elsewhere), so the psum IS the broadcast
             return jax.lax.psum(results, "pipe")
 
-        out = shard_map(local, mesh=mesh, in_specs=(P("pipe"), P()),
-                        out_specs=P(), check_vma=False)(stacked, mbs)
+        # on a ('data','pipe') training mesh each data-group runs its own
+        # pipeline over its microbatch rows (dim 1); pipe-only serving
+        # meshes replicate the microbatches across stages
+        mb_spec = P(None, "data") if "data" in mesh.axis_names else P()
+        out = shard_map(local, mesh=mesh, in_specs=(P("pipe"), mb_spec),
+                        out_specs=mb_spec, check_vma=False)(stacked, mbs)
         return out.reshape(B, C, T)
 
     return run

@@ -252,11 +252,34 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
     n_dev = len(jax.devices())
     mesh = None
     tp_n = max(int(cfg.train.tensor_parallel), 1)
+    pp_n = max(int(cfg.train.pipeline_parallel), 1)
+    if tp_n > 1 and pp_n > 1:
+        raise ValueError("tensor_parallel and pipeline_parallel both >1 is "
+                         "not composed yet; pick one model axis")
     if use_mesh and n_dev > 1:
         # the loader yields a PER-PROCESS batch; the global batch the mesh
         # sees is batch_size * process_count (shard_batch assembles it)
         global_bs = cfg.dataset.train.batch_size * jax.process_count()
-        if tp_n > 1:
+        if pp_n > 1:
+            from ..parallel.pp import make_dp_pipe_mesh, validate_pp
+
+            if cfg.train.fsdp:
+                raise ValueError("fsdp + pipeline_parallel is not composed "
+                                 "yet; pick one memory axis")
+            if n_dev % pp_n:
+                raise ValueError(
+                    f"train.pipeline_parallel={pp_n} does not divide the "
+                    f"{n_dev} attached devices")
+            validate_pp(cfg, pp_n)
+            n_micro = int(cfg.train.pipeline_microbatches) or pp_n
+            d_axis = n_dev // pp_n
+            if global_bs % n_micro or (global_bs // n_micro) % max(d_axis, 1):
+                raise ValueError(
+                    f"global batch {global_bs} must split into "
+                    f"{n_micro} microbatches x the {d_axis}-way data axis "
+                    f"(pipeline_parallel={pp_n})")
+            mesh = make_dp_pipe_mesh(pp_n)
+        elif tp_n > 1:
             # ('data','model') mesh: batch shards over the data axis only
             from ..parallel.tp import make_dp_tp_mesh
 
@@ -274,13 +297,13 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
         else:
             print(f"[train] global batch {global_bs} not divisible by "
                   f"{n_dev} devices; running unsharded")
-    elif tp_n > 1:
-        # tensor_parallel configured but no mesh will be built — don't train
-        # unsharded silently (ADVICE r3): a 1-device run with tp=1 semantics
-        # is almost never what a tensor_parallel config intends
+    elif tp_n > 1 or pp_n > 1:
+        # model-parallel knob configured but no mesh will be built — don't
+        # train unsharded silently (ADVICE r3)
+        knob = ("tensor_parallel", tp_n) if tp_n > 1 else ("pipeline_parallel", pp_n)
         raise ValueError(
-            f"train.tensor_parallel={tp_n} requires use_mesh=True and >1 "
-            f"devices (have {n_dev}); set tensor_parallel: 1 to run unsharded")
+            f"train.{knob[0]}={knob[1]} requires use_mesh=True and >1 "
+            f"devices (have {n_dev}); set {knob[0]}: 1 to run unsharded")
     state = init_train_state(jax.random.key(cfg.train.seed), cfg)
     if mesh is not None:
         # Place the state on the mesh BEFORE any Orbax restore: the restore

@@ -411,6 +411,21 @@ def jit_train_step(cfg: Config, mesh=None, *, donate: bool = False,
     data = NamedSharding(mesh, P("data"))
     state_sh = repl
     tp = "model" in mesh.axis_names
+    if "pipe" in mesh.axis_names:
+        # GPipe pipeline parallelism (parallel/pp.py): state stays
+        # replicated (the backbone is stage-stacked + 'pipe'-sharded inside
+        # the traced forward, gradients flowing back to the unstacked
+        # leaves); the batch shards over 'data' as usual
+        from ..parallel.pp import pp_train_context, validate_pp
+
+        validate_pp(cfg, mesh.shape["pipe"])
+        n_micro = (int(cfg.train.pipeline_microbatches)
+                   or mesh.shape["pipe"])
+        inner_pp = step_fn
+
+        def step_fn(state, batch, teacher=None):  # noqa: F811
+            with pp_train_context(mesh, n_micro):
+                return inner_pp(state, batch, teacher)
     if tp:
         from ..parallel.tp import tp_shard_activations, tp_state_shardings
 

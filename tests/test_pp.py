@@ -178,6 +178,95 @@ def test_synthesize_cli_semantic_paths_agree(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_pp_train_step_matches_dp():
+    """train.pipeline_parallel: the GPipe step over a ('data','pipe') mesh
+    must match the pure-DP step to fp32-reduction tolerance (the same
+    contract test_tp_train_step_matches_dp holds for TP)."""
+    from audiotokenization_tpu.parallel.mesh import make_data_mesh, shard_batch
+    from audiotokenization_tpu.parallel.pp import make_dp_pipe_mesh
+    from audiotokenization_tpu.train.state import init_train_state
+    from audiotokenization_tpu.train.step import jit_train_step
+
+    cfg = pp_tiny_config()
+    cfg.model.codec_encoder.n_layers = 4
+    cfg.model.codec_decoder.n_layers = 4
+    rng = np.random.RandomState(5)
+    batch = {"wav": jnp.asarray((rng.randn(8, 800) * 0.1).astype(np.float32))}
+    state0 = init_train_state(jax.random.key(0), cfg)
+
+    mesh_dp = make_data_mesh()
+    s_dp, m_dp = jit_train_step(cfg, mesh_dp)(state0, shard_batch(mesh_dp, batch))
+
+    cfg.train.pipeline_parallel = 4
+    mesh_pp = make_dp_pipe_mesh(4)
+    assert dict(mesh_pp.shape) == {"data": 2, "pipe": 4}
+    s_pp, m_pp = jit_train_step(cfg, mesh_pp)(state0, shard_batch(mesh_pp, batch))
+
+    for k in ("gen_loss", "disc_loss", "mel_loss", "vq_loss"):
+        np.testing.assert_allclose(float(m_dp[k]), float(m_pp[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+    # the scanned stage bodies fuse slightly differently from the unrolled
+    # layer loop (~1e-6 activation delta, module docstring) — with random
+    # weights that can flip an occasional argmin near-tie, which moves a
+    # single codebook row's gradient. Allow a <=0.1% element tail.
+    for a, b in zip(jax.tree.leaves(s_dp.gen_params),
+                    jax.tree.leaves(s_pp.gen_params)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        bad = np.abs(a - b) > (1e-5 + 1e-4 * np.abs(b))
+        assert bad.mean() <= 1e-3, (a.shape, bad.mean())
+
+
+def test_pp_train_loop_end_to_end(tmp_path):
+    """train.pipeline_parallel through the stock loop: fit builds the
+    ('data','pipe') mesh, steps, validates, checkpoints, resumes."""
+    from audiotokenization_tpu.data.audio_io import write_wav
+    from audiotokenization_tpu.data.dataset import AudioDataset, DataLoader
+    from audiotokenization_tpu.train.loop import train
+
+    rng = np.random.RandomState(0)
+    files = []
+    for i in range(4):
+        p = tmp_path / f"clip{i}.wav"
+        write_wav(p, (rng.randn(900) * 0.1).astype(np.float32), 16000)
+        files.append(str(p))
+    fl = tmp_path / "train.txt"
+    fl.write_text("\n".join(files))
+
+    cfg = pp_tiny_config()
+    cfg.model.codec_encoder.n_layers = 4
+    cfg.model.codec_decoder.n_layers = 4
+    cfg.train.pipeline_parallel = 4
+    cfg.train.pipeline_microbatches = 2  # 4-row batch: 2 micro x 2-way data
+    cfg.dataset.train.filelist = str(fl)
+    cfg.dataset.train.min_audio_length = 800
+    cfg.dataset.train.batch_size = 4
+    cfg.train.val_every_n_steps = 2
+    cfg.train.num_sanity_val_steps = 1
+    cfg.train.log_every_n_steps = 1
+    ds = AudioDataset(cfg.dataset.train, sample_rate=16000,
+                      pad_to_multiple_of=40, train=True)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    state = train(cfg, train_loader=loader, val_loader=loader,
+                  run_dir=str(tmp_path / "run"), max_steps=2)
+    assert int(state.step) == 2
+    state2 = train(cfg, train_loader=loader, val_loader=loader,
+                   run_dir=str(tmp_path / "run"), max_steps=3)
+    assert int(state2.step) == 3
+
+
+def test_pp_loop_validation_errors():
+    from audiotokenization_tpu.parallel.pp import validate_pp
+    from audiotokenization_tpu.config import Config
+
+    cfg = Config()  # bigcodec: no PP target
+    with pytest.raises(ValueError, match="conformer"):
+        validate_pp(cfg, 2)
+    cfg2 = pp_tiny_config()
+    cfg2.model.codec_encoder.n_layers = 3
+    with pytest.raises(ValueError, match="divisible"):
+        validate_pp(cfg2, 2)
+
+
 def test_pp_rejects_bad_shapes():
     cfg = pp_tiny_config()
     with pytest.raises(ValueError, match="divisible"):
