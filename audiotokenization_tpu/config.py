@@ -40,6 +40,14 @@ class EncoderConfig:
     dropout: float = 0.1
     max_seq_len: int = 8192
     rope_theta: float = 10000.0
+    # conformer FFN type: "dense" (the reference's SwiGLU, vq/module.py:455)
+    # or "moe" — GShard/Switch mixture-of-experts SwiGLU (ops/moe.py), the
+    # width-scaling axis; experts shard over the TP mesh's 'model' axis
+    # (expert parallelism) under train.tensor_parallel
+    ffn_type: str = "dense"
+    moe_experts: int = 4
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
 
 @dataclass
@@ -79,6 +87,14 @@ class DecoderConfig:
     dropout: float = 0.1
     max_seq_len: int = 8192
     rope_theta: float = 10000.0
+    # conformer FFN type: "dense" (the reference's SwiGLU, vq/module.py:455)
+    # or "moe" — GShard/Switch mixture-of-experts SwiGLU (ops/moe.py), the
+    # width-scaling axis; experts shard over the TP mesh's 'model' axis
+    # (expert parallelism) under train.tensor_parallel
+    ffn_type: str = "dense"
+    moe_experts: int = 4
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
 
 @dataclass
@@ -129,6 +145,10 @@ class Lambdas:
     lambda_stft_loss: float = 1.0
     lambda_semantic_loss: float = 5.0
     lambda_perceptual_loss: float = 0.0
+    # MoE router aux losses (Switch Transformers defaults), active when a
+    # conformer side has ffn_type: moe
+    lambda_moe_load_balance: float = 0.01
+    lambda_moe_router_z: float = 0.001
 
 
 @dataclass

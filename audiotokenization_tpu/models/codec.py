@@ -29,6 +29,15 @@ class CodecOutput(NamedTuple):
     vq_code: jnp.ndarray       # (Nq, B, T_frames)
     semantic_recon_loss: jnp.ndarray | None = None
     quantizer_state: Any = None  # updated non-gradient quantizer state (EMA path)
+    # (3,) [load_balance, router_z, sg(dropped_frac)] means over the MoE
+    # layers when a conformer side has ffn_type: moe (ops/moe.py); None for
+    # dense models
+    moe_aux_loss: jnp.ndarray | None = None
+
+
+def uses_moe(cfg: Config) -> bool:
+    return (getattr(cfg.model.codec_encoder, "ffn_type", "dense") == "moe"
+            or getattr(cfg.model.codec_decoder, "ffn_type", "dense") == "moe")
 
 
 def encode(params, cfg: Config, wav, *, remat: bool = False):
@@ -46,7 +55,8 @@ def encode(params, cfg: Config, wav, *, remat: bool = False):
         return conformer.conformer_encode(
             params["encoder"], x, hop_length=e.hop_length, n_fft=e.n_fft,
             window_size=e.window_size, n_head=e.n_head, rope_theta=e.rope_theta,
-            max_seq_len=e.max_seq_len, causal=e.causal, remat=remat)
+            max_seq_len=e.max_seq_len, causal=e.causal, remat=remat,
+            moe_args=(e.moe_top_k, e.moe_capacity_factor))
     raise ValueError(f"unknown encoder type {e.type}")
 
 
@@ -121,7 +131,8 @@ def decode(params, cfg: Config, quantized, *, remat: bool = False):
         return conformer.conformer_decode(
             params["decoder"], quantized, hop_length=d.hop_length, n_fft=d.n_fft,
             n_head=d.n_head, rope_theta=d.rope_theta, max_seq_len=d.max_seq_len,
-            causal=d.causal, remat=remat)
+            causal=d.causal, remat=remat,
+            moe_args=(d.moe_top_k, d.moe_capacity_factor))
     raise ValueError(f"unknown decoder type {d.type}")
 
 
@@ -186,19 +197,34 @@ def forward(params, cfg: Config, batch: Dict[str, Any], *, training: bool = Fals
         batch = _cast_tree(dict(batch), jnp.bfloat16)
     wav = batch["wav"]
     from ..config import resolve_remat
+    from ..ops.moe import collect_moe_aux
 
     remat = training and resolve_remat(cfg)
-    latents = encode(params, cfg, wav, remat=remat)
-    if cfg.train.use_semantic:
-        from .semantic import semantic_forward
+    with collect_moe_aux() as moe_bucket:
+        latents = encode(params, cfg, wav, remat=remat)
+        if cfg.train.use_semantic:
+            from .semantic import semantic_forward
 
-        return semantic_forward(params, cfg, batch, latents, training=training,
-                                step=step)
-    zq, codes, vq_loss, qstate = quantize(params, cfg, latents, training=training,
-                                          with_state=True, step=step)
-    gen = decode(params, cfg, zq, remat=remat)
-    return CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen, vq_loss=vq_loss,
-                       vq_code=codes, quantizer_state=qstate)
+            out = semantic_forward(params, cfg, batch, latents,
+                                   training=training, step=step)
+        else:
+            zq, codes, vq_loss, qstate = quantize(
+                params, cfg, latents, training=training, with_state=True,
+                step=step)
+            gen = decode(params, cfg, zq, remat=remat)
+            out = CodecOutput(gt_wav=wav[:, None, :], gen_wav=gen,
+                              vq_loss=vq_loss, vq_code=codes,
+                              quantizer_state=qstate)
+    if moe_bucket:
+        # mean over the MoE layers (Switch convention); dropped_frac is a
+        # metric, not a loss — stop its (zero) gradient explicitly
+        n = float(len(moe_bucket))
+        lb = sum(a["load_balance_loss"] for a in moe_bucket) / n
+        z = sum(a["router_z_loss"] for a in moe_bucket) / n
+        dropped = jax.lax.stop_gradient(
+            sum(a["dropped_frac"] for a in moe_bucket) / n)
+        out = out._replace(moe_aux_loss=jnp.stack([lb, z, dropped]))
+    return out
 
 
 def _encode_bigcodec_mixed(params, cfg: Config, wav):
@@ -340,7 +366,8 @@ def init_codec(key, cfg: Config) -> Dict[str, Any]:
         enc = conformer.init_conformer_encoder(
             k_enc, n_fft=e.n_fft, dim=e.dim, n_layers=e.n_layers, n_head=e.n_head,
             ffn_mult=e.ffn_mult, conv_kernel_size=e.conv_kernel_size,
-            out_channels=e.out_channels)
+            out_channels=e.out_channels, ffn_type=e.ffn_type,
+            moe_experts=e.moe_experts)
     else:
         raise ValueError(e.type)
     if d.type == "bigcodec":

@@ -25,7 +25,8 @@ from ..ops.transformer import (conformer_backbone, init_conformer_backbone,
 
 def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
                      n_head=8, rope_theta=10000.0, max_seq_len=8192,
-                     causal=False, remat=False, backbone_fn=None, valid=None):
+                     causal=False, remat=False, backbone_fn=None, valid=None,
+                     moe_args=(2, 1.25)):
     """x: (B, 1, T) -> (B, out_channels, T/hop) latents.
 
     backbone_fn: optional replacement for the sequential backbone call —
@@ -65,7 +66,7 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
         h = conformer_backbone(h, params["backbone"], n_head=n_head,
                                rope_theta=rope_theta, max_seq_len=max_seq_len,
                                conv_first=True, causal=causal, remat=remat,
-                               valid=valid)
+                               valid=valid, moe_args=moe_args)
     h = jnp.swapaxes(rms_norm(jnp.swapaxes(h, 1, 2), params["norm"]), 1, 2)
     if "output_proj" in params:
         h = conv1d(h, get_weight(params["output_proj"]), params["output_proj"].get("b"))
@@ -91,7 +92,8 @@ def istft_head(params, x, *, n_fft: int, hop_length: int, valid=None):
 
 def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
                      rope_theta=10000.0, max_seq_len=8192, causal=False,
-                     remat=False, backbone_fn=None, valid=None):
+                     remat=False, backbone_fn=None, valid=None,
+                     moe_args=(2, 1.25)):
     """x: (B, in_channels, T_frames) quantized latents -> (B, 1, L) waveform.
 
     backbone_fn: optional pipeline-parallel backbone hook (parallel/pp.py),
@@ -113,14 +115,15 @@ def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
         x = conformer_backbone(x, params["backbone"], n_head=n_head,
                                rope_theta=rope_theta, max_seq_len=max_seq_len,
                                conv_first=False, causal=causal, remat=remat,
-                               valid=valid)
+                               valid=valid, moe_args=moe_args)
     x = rms_norm(jnp.swapaxes(x, 1, 2), params["norm"])  # (B, T, dim)
     return istft_head(params["head_out"], x, n_fft=n_fft, hop_length=hop_length,
                       valid=valid)
 
 
 def init_conformer_encoder(key, *, n_fft=800, dim=256, n_layers=6, n_head=8,
-                           ffn_mult=4, conv_kernel_size=31, out_channels=256):
+                           ffn_mult=4, conv_kernel_size=31, out_channels=256,
+                           ffn_type="dense", moe_experts=4):
     k1, k2, k3 = jax.random.split(key, 3)
     stft_dim = n_fft // 2 + 1
     p = {
@@ -128,7 +131,9 @@ def init_conformer_encoder(key, *, n_fft=800, dim=256, n_layers=6, n_head=8,
         "input_norm": jnp.ones((dim,)),
         "backbone": init_conformer_backbone(k2, dim, n_layers, n_head=n_head,
                                             ffn_mult=ffn_mult,
-                                            conv_kernel_size=conv_kernel_size),
+                                            conv_kernel_size=conv_kernel_size,
+                                            ffn_type=ffn_type,
+                                            moe_experts=moe_experts),
         "norm": jnp.ones((dim,)),
     }
     if out_channels != dim:
@@ -138,12 +143,15 @@ def init_conformer_encoder(key, *, n_fft=800, dim=256, n_layers=6, n_head=8,
 
 def init_conformer_decoder(key, *, in_channels=256, n_fft=800, dim=256,
                            n_layers=6, n_head=8, ffn_mult=4,
-                           conv_kernel_size=31):
+                           conv_kernel_size=31, ffn_type="dense",
+                           moe_experts=4):
     k1, k2, k3 = jax.random.split(key, 3)
     p = {
         "backbone": init_conformer_backbone(k1, dim, n_layers, n_head=n_head,
                                             ffn_mult=ffn_mult,
-                                            conv_kernel_size=conv_kernel_size),
+                                            conv_kernel_size=conv_kernel_size,
+                                            ffn_type=ffn_type,
+                                            moe_experts=moe_experts),
         "norm": jnp.ones((dim,)),
         "head_out": init_linear(k2, dim, n_fft + 2),
     }

@@ -27,11 +27,39 @@ trace-time switch that activates the expert shardings, exactly as for TP.
 """
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .conv import init_linear
+
+_aux_local = threading.local()
+
+
+@contextlib.contextmanager
+def collect_moe_aux():
+    """Trace-time collector for MoE router aux losses.
+
+    The conformer layer stack has no aux-return plumbing (layers map x->x),
+    so codec.forward opens this context around the model call and every
+    `moe_ffn` traced inside appends its aux dict; the summed load-balance /
+    router-z losses then join the generator loss (train/step.py). Outside
+    the context recording is a no-op (tokenize/serving paths)."""
+    prev = getattr(_aux_local, "bucket", None)
+    _aux_local.bucket = []
+    try:
+        yield _aux_local.bucket
+    finally:
+        _aux_local.bucket = prev
+
+
+def _record_aux(aux):
+    b = getattr(_aux_local, "bucket", None)
+    if b is not None:
+        b.append(aux)
 
 
 def init_moe_ffn(key, dim: int, *, n_experts: int, ffn_mult: int = 4):
@@ -65,16 +93,26 @@ def _constrain_experts(t):
     return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, P(*spec)))
 
 
-def moe_ffn(x, p, *, top_k: int = 2, capacity_factor: float = 1.25):
+def moe_ffn(x, p, *, top_k: int = 2, capacity_factor: float = 1.25,
+            token_mask=None):
     """x: (B, T, d) -> (out (B, T, d), aux) — GShard top-k routing with fixed
     capacity; dropped tokens (over-capacity) pass through the residual only.
 
-    aux = {"load_balance_loss", "router_z_loss", "dropped_frac"}.
+    aux = {"load_balance_loss", "router_z_loss", "dropped_frac"}; also
+    recorded into any active `collect_moe_aux` context.
+
+    token_mask: optional (B, T) bool — masked (pad) tokens are excluded from
+    dispatch (they claim no capacity slots) and from the router statistics;
+    used by the ragged eval path. Note: expert capacity is a static function
+    of the BATCH token count, so ragged MoE outputs are batch-composition-
+    dependent by construction (unlike every dense path, which is per-file
+    exact) — an inherent property of capacity-based routing.
     """
     B, T, d = x.shape
     E = p["router"]["w"].shape[0]
     N = B * T
     xt = x.reshape(N, d)
+    tmask = None if token_mask is None else token_mask.reshape(N)
     # fp32 router
     logits = jnp.einsum("nd,ed->ne", xt.astype(jnp.float32),
                         p["router"]["w"].astype(jnp.float32))
@@ -87,9 +125,14 @@ def moe_ffn(x, p, *, top_k: int = 2, capacity_factor: float = 1.25):
     # one flat one-hot (N*k, E) in choice-major order so earlier tokens and
     # earlier choices claim slots first (GShard's sequential assignment)
     onehot = jax.nn.one_hot(idx_k.T.reshape(-1), E, dtype=jnp.int32)  # (k*N, E)
+    if tmask is not None:
+        # pad tokens claim no capacity slots
+        onehot = onehot * jnp.tile(tmask, top_k)[:, None].astype(jnp.int32)
     pos = jnp.cumsum(onehot, axis=0) - 1  # slot index per (choice, token)
     pos = jnp.sum(pos * onehot, axis=-1).reshape(top_k, N).T  # (N, k)
     keep = pos < capacity
+    if tmask is not None:
+        keep = keep & tmask[:, None]
 
     # dispatch (N, E, C) / combine (weighted) tensors
     def one_hot_pos(i):
@@ -112,15 +155,27 @@ def moe_ffn(x, p, *, top_k: int = 2, capacity_factor: float = 1.25):
     out = jnp.einsum("nec,ecd->nd", combine, expert_out).reshape(B, T, d)
 
     # Switch aux losses (fp32): f_e = fraction of tokens whose TOP-1 choice
-    # is e; P_e = mean router prob for e
+    # is e; P_e = mean router prob for e (valid tokens only under a mask)
     top1 = jax.nn.one_hot(idx_k[:, 0], E, dtype=jnp.float32)
-    f = jnp.mean(top1, axis=0)
-    pmean = jnp.mean(probs, axis=0)
+    if tmask is None:
+        f = jnp.mean(top1, axis=0)
+        pmean = jnp.mean(probs, axis=0)
+        z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+        dropped = 1.0 - jnp.mean(keep.astype(jnp.float32))
+    else:
+        w = tmask.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(w), 1.0)
+        f = jnp.sum(top1 * w[:, None], axis=0) / n_valid
+        pmean = jnp.sum(probs * w[:, None], axis=0) / n_valid
+        z = jnp.sum(jax.nn.logsumexp(logits, axis=-1) ** 2 * w) / n_valid
+        dropped = 1.0 - (jnp.sum(keep.astype(jnp.float32))
+                         / (n_valid * top_k))
     aux = {
         "load_balance_loss": E * jnp.sum(f * pmean),
-        "router_z_loss": jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2),
-        "dropped_frac": 1.0 - jnp.mean(keep.astype(jnp.float32)),
+        "router_z_loss": z,
+        "dropped_frac": dropped,
     }
+    _record_aux(aux)
     return out, aux
 
 

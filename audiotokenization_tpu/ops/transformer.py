@@ -148,13 +148,16 @@ def conformer_conv_module(x, p, *, causal: bool = False, valid=None):
 
 
 def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
-                    causal: bool = False, valid=None):
+                    causal: bool = False, valid=None,
+                    moe_args: Sequence = (2, 1.25)):
     """Pre-norm residual {conv|attn, ffn1, attn|conv, ffn2} (vq/module.py:496-526).
 
     Plain residual adds — the reference deliberately has no half-step FFN
     scaling. x: (B, C, T). valid: optional (B,) ragged frame counts
     (masked attention keys + conv-module edge zeroing; per-frame ops need
-    no masking).
+    no masking). FFN params containing a "router" key run as a GShard MoE
+    (ops/moe.py, ffn_type: moe) with (top_k, capacity_factor) = moe_args;
+    dense SwiGLU otherwise.
     """
     def norm_t(x, w):
         return jnp.swapaxes(rms_norm(jnp.swapaxes(x, 1, 2), w), 1, 2)
@@ -169,7 +172,17 @@ def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
 
     def ffn(x, fp, w):
         y = rms_norm(jnp.swapaxes(x, 1, 2), w)
-        return x + jnp.swapaxes(feed_forward(y, fp), 1, 2)
+        if "router" in fp:
+            from .moe import moe_ffn
+
+            tm = (None if valid is None
+                  else _frame_mask(valid, y.shape[1]))  # (B, T)
+            out, _ = moe_ffn(y, fp, top_k=int(moe_args[0]),
+                             capacity_factor=float(moe_args[1]),
+                             token_mask=tm)
+        else:
+            out = feed_forward(y, fp)
+        return x + jnp.swapaxes(out, 1, 2)
 
     if conv_first:
         x = conv(x)
@@ -187,7 +200,7 @@ def conformer_layer(x, p, cos, sin, *, n_head: int, conv_first: bool = False,
 def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
                        max_seq_len: int = 8192, conv_first: bool = False,
                        causal: bool = False, cos_sin=None, remat: bool = False,
-                       valid=None):
+                       valid=None, moe_args: Sequence = (2, 1.25)):
     """Stack of conformer layers with a shared sliced RoPE table (vq/module.py:528-547).
 
     remat=True checkpoints each layer (activation recompute in backward).
@@ -203,9 +216,24 @@ def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
     cos, sin = cos[:T], sin[:T]
     layer_fn = functools.partial(conformer_layer, n_head=n_head,
                                  conv_first=conv_first, causal=causal,
-                                 valid=valid)
+                                 valid=valid, moe_args=tuple(moe_args))
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        # MoE aux values recorded inside a jax.checkpoint region would leak
+        # its trace (UnexpectedTracerError): make them REAL outputs of the
+        # checkpointed function and re-record them outside the boundary
+        from .moe import _record_aux, collect_moe_aux
+
+        def layer_with_aux(x, layer_p, cos, sin):
+            with collect_moe_aux() as bucket:
+                y = layer_fn(x, layer_p, cos, sin)
+            return y, list(bucket)
+
+        ckpt_fn = jax.checkpoint(layer_with_aux)
+        for layer_p in p["layers"]:
+            x, auxes = ckpt_fn(x, layer_p, cos, sin)
+            for a in auxes:
+                _record_aux(a)
+        return x
     for layer_p in p["layers"]:
         x = layer_fn(x, layer_p, cos, sin)
     return x
@@ -216,12 +244,18 @@ def conformer_backbone(x, p, *, n_head: int, rope_theta: float = 10000.0,
 # ---------------------------------------------------------------------------
 
 def init_conformer_layer(key, dim: int, *, n_head: int = 8, ffn_mult: int = 4,
-                         conv_kernel_size: int = 31):
+                         conv_kernel_size: int = 31, ffn_type: str = "dense",
+                         moe_experts: int = 4):
     from .conv import init_conv1d, init_linear
     hidden = swiglu_hidden_dim(dim, ffn_mult)
     keys = jax.random.split(key, 12)
 
     def ffn_init(k1, k2, k3):
+        if ffn_type == "moe":
+            from .moe import init_moe_ffn
+
+            return init_moe_ffn(k1, dim, n_experts=moe_experts,
+                                ffn_mult=ffn_mult)
         return {"w1": init_linear(k1, dim, hidden, bias=False),
                 "w2": init_linear(k2, hidden, dim, bias=False),
                 "w3": init_linear(k3, dim, hidden, bias=False)}

@@ -162,6 +162,14 @@ def tp_spec_for_path(path) -> P | None:
             return None
         return P(None, "model")
     if mod in ("ffn1", "ffn2"):
+        if name == "router":
+            # MoE router (ops/moe.py): tiny (E, d) weight, stays replicated —
+            # every shard needs the full expert distribution for top-k; the
+            # EXPERT tensors shard by their leading E axis at trace time
+            # (_constrain_experts), not by stored spec (their paths end in
+            # the stacked leaf names w1/w2/w3, not .../w, so they fall
+            # through to the generic rule)
+            return None
         return P("model", None) if name in ("w1", "w3") else P(None, "model")
     return None
 

@@ -93,6 +93,8 @@ def make_train_step(cfg: Config, *, donate: bool = True):
                 jax.tree.map(lambda t: t[n:], outs))
     gen_tx, disc_tx = make_optimizers(cfg)
 
+    has_moe = codec.uses_moe(cfg)
+
     def gen_forward(gen_params, batch, teacher, step=None):
         # the frozen SSL teacher rides OUTSIDE gen_params: it takes no
         # gradient and must not see AdamW weight decay (the reference
@@ -102,6 +104,8 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         out = codec.forward(fwd_params, cfg, batch, training=True, step=step)
         sem = out.semantic_recon_loss
         diff = (out.gen_wav, out.vq_loss) + ((sem,) if sem is not None else ())
+        if has_moe:
+            diff = diff + (out.moe_aux_loss,)
         aux = (out.vq_code, jax.lax.stop_gradient(out.quantizer_state))
         return diff, aux
 
@@ -123,7 +127,14 @@ def make_train_step(cfg: Config, *, donate: bool = True):
         def gen_loss_fn(*diff):
             y_g = diff[0]
             vq_l = diff[1]
-            sem_l = diff[2] if len(diff) > 2 else None
+            # positional layout mirrors gen_forward: [sem][moe] by cfg flags
+            idx = 2
+            sem_l = None
+            if tcfg.use_semantic:
+                sem_l, idx = diff[idx], idx + 1
+            moe_v = None
+            if has_moe:
+                moe_v, idx = diff[idx], idx + 1
             logs = {}
             total = 0.0
             if mel_loss is not None:
@@ -157,6 +168,13 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             if sem_l is not None:
                 total += sem_l * lam.lambda_semantic_loss
                 logs["semantic_recon_loss"] = sem_l
+            if moe_v is not None:
+                # Switch router aux losses (ops/moe.py): load balance + z
+                total += (moe_v[0] * lam.lambda_moe_load_balance
+                          + moe_v[1] * lam.lambda_moe_router_z)
+                logs["moe_load_balance"] = moe_v[0]
+                logs["moe_router_z"] = moe_v[1]
+                logs["moe_dropped_frac"] = moe_v[2]
             logs["gen_loss"] = total
             return total, logs
 
@@ -287,6 +305,9 @@ def make_train_step(cfg: Config, *, donate: bool = True):
             glog_keys.append("fm_loss")
         if tcfg.use_semantic:
             glog_keys.append("semantic_recon_loss")
+        if has_moe:
+            glog_keys += ["moe_load_balance", "moe_router_z",
+                          "moe_dropped_frac"]
 
         def gen_body(carry, mb):
             q, gacc, lacc, hacc = carry
