@@ -95,9 +95,12 @@ def quantize(params, cfg: Config, latents, *, training: bool = False,
         else:
             salt = jnp.sum((latents[:, 0, 0] * 1e3).astype(jnp.int32) % 7919)
         rng = jax.random.fold_in(jax.random.key(0), salt)
+        # kmeans_init=False is STATIC: the codec's init_ema_vq starts with
+        # initted=1 (random normal codebook, no kmeans), so the cond's
+        # 10-iteration kmeans branch would be dead weight in every hot step
         res = ema_vq_apply(params["quantizer"], latents, training=training,
                            commitment=d.vq_commit_weight, rng=rng,
-                           use_cosine_sim=d.vq_cosine_sim)
+                           use_cosine_sim=d.vq_cosine_sim, kmeans_init=False)
         out = res.quantized, res.indices[None], jnp.mean(res.loss)[None]
         qstate = res.state
     elif q == "lfq":

@@ -130,7 +130,8 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
                  affine_param: bool = False,
                  affine_batch_decay: float = 0.9,
                  affine_codebook_decay: float = 0.99,
-                 use_cosine_sim: bool = False) -> EmaVQResult:
+                 use_cosine_sim: bool = False,
+                 kmeans_init: bool = True) -> EmaVQResult:
     """x: (B, D, T). Returns quantized (B, D, T), indices (B, T), loss (B,), state.
 
     Optional capabilities mirroring the vendored VectorQuantize:
@@ -160,8 +161,13 @@ def ema_vq_apply(state, x, *, decay: float = 0.8, commitment: float = 1.0,
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
 
     # kmeans init on first training batch (distributed: init from local then sync
-    # implicitly since all replicas compute over psum-reduced stats thereafter)
-    if training:
+    # implicitly since all replicas compute over psum-reduced stats thereafter).
+    # kmeans_init=False skips the lax.cond STATICALLY: callers whose init
+    # path sets initted=1 from the start (the codec's init_ema_vq default)
+    # would otherwise trace a dead 10-iteration kmeans branch into every hot
+    # step — a pure compile-time/fusion-barrier tax, since the cond never
+    # takes that branch at runtime.
+    if training and kmeans_init:
         def do_init(s):
             key = rng if rng is not None else jax.random.key(0)
             means = _kmeans(key, flat, s["embed"].shape[0],

@@ -116,6 +116,41 @@ def bench_streaming(results, *, quick=False):
         print(f"streaming tokenize chunk={chunk_ms}ms: RTF {rtf:7.2f}x realtime, "
               f"per-chunk latency {lat_ms:.1f} ms (incl. ~40 ms tunnel RTT)")
 
+    # streaming CAUSAL CONFORMER tokenizer: KV-cache attention + conv rings
+    from audiotokenization_tpu.config import load_config
+    from audiotokenization_tpu.models.streaming import StreamingConformerTokenizer
+
+    cfg_c = load_config(str(Path(__file__).resolve().parent.parent
+                            / "configs" / "conformer.yaml"))
+    cfg_c.model.codec_encoder.causal = True
+    cfg_c.model.codec_decoder.causal = True
+    params_c = fold_weight_norm(C.init_codec(jax.random.key(2), cfg_c))
+    hop_c = cfg_c.model.codec_encoder.hop_length
+    for chunk_ms in ((80,) if quick else (80, 320)):
+        chunk = int(sr * chunk_ms / 1000)
+        chunk -= chunk % hop_c
+        tok = StreamingConformerTokenizer(params_c, cfg_c, chunk_samples=chunk)
+        state = tok.init_state(batch_size=1)
+        rng = np.random.RandomState(2)
+        chunks = [jnp.asarray(rng.randn(1, chunk).astype(np.float32) * 0.1)
+                  for _ in range(8)]
+        st = state
+        for c in chunks[:2]:
+            codes, st = tok.step(st, c)
+        np.asarray(codes)
+        N = 25 if quick else 50
+        st = state
+        t0 = time.perf_counter()
+        for i in range(N):
+            codes, st = tok.step(st, chunks[i % len(chunks)])
+        np.asarray(codes)
+        dt = time.perf_counter() - t0
+        rtf = (N * chunk / sr) / dt
+        results[f"streaming_conformer_tokenize_chunk{chunk_ms}ms"] = {
+            "rtf": round(rtf, 2), "delay_frames": tok.delay_frames}
+        print(f"streaming CONFORMER tokenize chunk={chunk_ms}ms: "
+              f"RTF {rtf:7.2f}x realtime (latency {tok.delay_frames} frames)")
+
     # synthesizer: codes -> wav, chunk_frames at 80 fps
     for chunk_frames in ((8,) if quick else (8, 25)):
         syn = StreamingSynthesizer(params, cfg, chunk_frames=chunk_frames)
