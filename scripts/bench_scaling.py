@@ -15,7 +15,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu_mesh", type=int, default=0, metavar="N",
+                    help="force an N-virtual-device CPU mesh with a tiny "
+                         "model: records step-scaling (compile + collective "
+                         "overhead trend) without multi-chip hardware")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
     import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
 
     from audiotokenization_tpu.utils.compile_cache import enable_compile_cache
 
@@ -28,16 +41,36 @@ def main():
     from audiotokenization_tpu.train.step import jit_train_step
 
     n_dev = len(jax.devices())
-    counts = sorted({1, n_dev})
+    counts = sorted({1, 2, 4, n_dev} if args.cpu_mesh else {1, n_dev})
+    counts = [c for c in counts if c <= n_dev]
     cfg = Config()
     cfg.train.precision = "bf16"
-    state = init_train_state(jax.random.key(0), cfg)
     per_chip_batch = 32
+    if args.cpu_mesh:  # tiny model: the trend, not the absolute number
+        e, d = cfg.model.codec_encoder, cfg.model.codec_decoder
+        e.ngf, e.out_channels, e.up_ratios, e.rnn_num_layers = 4, 32, (2, 5), 1
+        d.in_channels, d.upsample_initial_channel = 32, 16
+        d.up_ratios, d.rnn_num_layers = (5, 2), 1
+        d.codebook_size, d.codebook_dim = 64, 8
+        cfg.model.mpd.periods = (2, 3)
+        cfg.model.mpd.channels = 4
+        cfg.model.mpd.max_downsample_channels = 16
+        st = cfg.model.mstft
+        st.stft_params.fft_sizes = (128, 256)
+        st.stft_params.hop_sizes = (32, 64)
+        st.stft_params.win_lengths = (128, 256)
+        st.channels = 4
+        st.max_downsample_channels = 16
+        cfg.train.precision = "fp32"
+        per_chip_batch = 4
+    state = init_train_state(jax.random.key(0), cfg)
+    rows = []
     for n in counts:
         mesh = make_data_mesh(jax.devices()[:n]) if n > 1 else None
         step = jit_train_step(cfg, mesh, donate=False)
         B = per_chip_batch * n
-        wav = jnp.asarray(np.random.RandomState(0).randn(B, 16000).astype(np.float32) * 0.1)
+        T = 800 if args.cpu_mesh else 16000
+        wav = jnp.asarray(np.random.RandomState(0).randn(B, T).astype(np.float32) * 0.1)
         batch = {"wav": wav} if mesh is None else shard_batch(mesh, {"wav": wav})
         s, m = step(state, batch)
         np.asarray(m["gen_loss"])
@@ -47,9 +80,15 @@ def main():
             s, m = step(s, batch)
         np.asarray(m["gen_loss"])
         dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({"devices": n, "global_batch": B,
-                          "sec_per_step": round(dt, 4),
-                          "audio_s_per_s": round(B / dt, 1)}))
+        row = {"devices": n, "global_batch": B,
+               "sec_per_step": round(dt, 4),
+               "audio_s_per_s": round(B / dt, 1)}
+        rows.append(row)
+        print(json.dumps(row))
+    if args.out:
+        Path(args.out).write_text(json.dumps(
+            {"mode": "cpu_mesh_tiny" if args.cpu_mesh else "attached",
+             "rows": rows}) + "\n")
 
 
 if __name__ == "__main__":
