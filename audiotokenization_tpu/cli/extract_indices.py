@@ -183,12 +183,15 @@ def main(argv=None):
 
             tp_n = (len(jax.devices()) if args.tensor_parallel < 0
                     else args.tensor_parallel)
-            if tp_n > len(jax.devices()) or len(jax.devices()) % tp_n:
+            if tp_n > len(jax.devices()):
                 raise SystemExit(
-                    f"--tensor_parallel {tp_n} does not divide the "
+                    f"--tensor_parallel {tp_n} exceeds the "
                     f"{len(jax.devices())} attached devices")
+            # the mesh must span EXACTLY tp_n devices: per-file batches are
+            # B=1, which cannot shard over a >1 data axis
             tokenize = jit_tp_tokenize(
-                cfg, make_dp_tp_mesh(tp_n), mode=args.mode)
+                cfg, make_dp_tp_mesh(tp_n, jax.devices()[:tp_n]),
+                mode=args.mode)
         else:
             @jax.jit
             def tokenize(params, wav):
@@ -222,8 +225,10 @@ def main(argv=None):
          and not (enc_cfg.use_rnn and enc_cfg.rnn_bidirectional))
         # conformer: exact masked attention/conv path (utils/ragged.py);
         # 'balanced' splits the bigcodec conv front and has no conformer
-        # variant, so that one mode stays per-file
-        or (enc_cfg.type == "conformer_stft" and args.mode != "balanced"))
+        # variant, and MoE capacity routing is batch-global — both stay
+        # per-file
+        or (enc_cfg.type == "conformer_stft" and args.mode != "balanced"
+            and getattr(enc_cfg, "ffn_type", "dense") != "moe"))
     batched = (sp_tok is None and not args.tensor_parallel and not args.exact
                and sem_dir is None and ragged_ok
                and not (cfg.train.use_semantic and cfg.train.concat_semantic))

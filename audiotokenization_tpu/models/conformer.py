@@ -59,7 +59,7 @@ def conformer_encode(params, x, *, hop_length=200, n_fft=800, window_size=800,
         backbone_fn = maybe_pp_backbone(
             params["backbone"], dim=h.shape[1], n_head=n_head,
             rope_theta=rope_theta, max_seq_len=max_seq_len,
-            conv_first=True, causal=causal)
+            conv_first=True, causal=causal, remat=remat)
     if backbone_fn is not None:
         h = backbone_fn(h, params["backbone"])
     else:
@@ -108,7 +108,7 @@ def conformer_decode(params, x, *, hop_length=200, n_fft=800, n_head=8,
         backbone_fn = maybe_pp_backbone(
             params["backbone"], dim=x.shape[1], n_head=n_head,
             rope_theta=rope_theta, max_seq_len=max_seq_len,
-            conv_first=False, causal=causal)
+            conv_first=False, causal=causal, remat=remat)
     if backbone_fn is not None:
         x = backbone_fn(x, params["backbone"])
     else:

@@ -519,6 +519,10 @@ class StreamingConformerTokenizer:
             raise NotImplementedError("concat_semantic tokenization needs "
                                       "the teacher target per frame; no "
                                       "streaming path for it")
+        if getattr(e, "ffn_type", "dense") == "moe":
+            raise NotImplementedError(
+                "streaming conformer covers dense-FFN configs; MoE capacity "
+                "routing is batch/chunk-global (ops/moe.py)")
         self.params = params
         self.cfg = cfg
         self.hop = e.hop_length
@@ -536,6 +540,11 @@ class StreamingConformerTokenizer:
         # starts inside the buffer
         self.tail = self.delay_frames * self.hop + self.P
         self.L_max = e.max_seq_len + self.delay_frames  # cache rows (row = frame + delay)
+        # host-side stream-length guard: past max_seq_len frames the KV
+        # write would clamp (silent token corruption) and the RoPE table has
+        # no rows; count frames fed through this instance (linear-stream
+        # usage; forked states share the conservative bound)
+        self._frames_fed = 0
         self._step = jax.jit(self._step_impl)
         self._flush_step = jax.jit(self._step_impl)  # distinct chunk shape
 
@@ -684,6 +693,13 @@ class StreamingConformerTokenizer:
         return codes, new_state
 
     def step(self, state: ConformerStreamState, chunk):
+        self._frames_fed += chunk.shape[-1] // self.hop
+        if self._frames_fed > self.cfg.model.codec_encoder.max_seq_len:
+            raise ValueError(
+                f"stream exceeds max_seq_len="
+                f"{self.cfg.model.codec_encoder.max_seq_len} frames (the "
+                "offline RoPE/attention bound); restart with init_state or "
+                "raise codec_encoder.max_seq_len")
         return self._step(self.params, state, chunk)
 
     def flush(self, state: ConformerStreamState):

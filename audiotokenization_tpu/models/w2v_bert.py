@@ -43,9 +43,9 @@ class W2vBertConfig:
 
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["w"] + p["b"]
+    from ..ops.transformer import layer_norm
+
+    return layer_norm(x, p["w"], p["b"], eps=eps)
 
 
 def _ffn(x, p, eps):

@@ -58,9 +58,9 @@ class WavLMConfig:
 
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    from ..ops.transformer import layer_norm
+
+    return layer_norm(x, p["g"], p["b"], eps=eps)
 
 
 def _conv1d(x, w, b=None, *, stride=1, padding=0, groups=1):

@@ -34,6 +34,15 @@ def rms_norm(x, weight=None, *, eps: float = 1e-6):
     return normed
 
 
+def layer_norm(x, gain, bias, *, eps: float = 1e-5):
+    """torch nn.LayerNorm over the last dim (biased variance). Shared by the
+    SSL upstream ports (models/w2v_bert.py, models/wavlm.py) so the
+    numeric-critical formula lives once."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * gain + bias
+
+
 def precompute_rope(head_dim: int, max_len: int, theta: float = 10000.0):
     """cos/sin tables (max_len, head_dim//2), fp32; matches precompute_freqs_cis."""
     freqs = 1.0 / (theta ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim))

@@ -57,22 +57,34 @@ def make_dp_pipe_mesh(n_pipe: int, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "pipe"))
 
 
-def validate_pp(cfg, n_pipe: int) -> None:
-    """Fail fast on non-conformer configs / indivisible layer counts."""
+def validate_pp(cfg, n_pipe: int, which=("encoder", "decoder")) -> None:
+    """Fail fast on non-conformer configs / indivisible layer counts / MoE.
+
+    which: restrict to the side(s) actually pipelined — serving paths
+    pipeline one side (jit_pp_tokenize: encoder; jit_pp_synthesize:
+    decoder), training both."""
     sides = []
-    if cfg.model.codec_encoder.type == "conformer_stft":
-        sides.append(("encoder", cfg.model.codec_encoder.n_layers))
-    if cfg.model.codec_decoder.type == "conformer_istft":
-        sides.append(("decoder", cfg.model.codec_decoder.n_layers))
+    if "encoder" in which and cfg.model.codec_encoder.type == "conformer_stft":
+        sides.append(("encoder", cfg.model.codec_encoder))
+    if "decoder" in which and cfg.model.codec_decoder.type == "conformer_istft":
+        sides.append(("decoder", cfg.model.codec_decoder))
     if not sides:
         raise ValueError(
             "pipeline_parallel>1 requires a conformer encoder or decoder; "
             "the BigCodec conv family scales via data/FSDP/sequence "
             "parallelism (parallel/mesh.py, parallel/sp.py)")
-    for side, n_layers in sides:
-        if n_layers % n_pipe:
-            raise ValueError(f"{side}: n_layers={n_layers} not divisible by "
+    for side, m in sides:
+        if m.n_layers % n_pipe:
+            raise ValueError(f"{side}: n_layers={m.n_layers} not divisible by "
                              f"pipeline_parallel={n_pipe}")
+        if getattr(m, "ffn_type", "dense") == "moe":
+            # moe_ffn's aux recording inside the shard_map stage scan would
+            # leak sharded tracers into the outer collect_moe_aux bucket,
+            # and the stage layers would route with default (top_k,
+            # capacity) instead of the config's — not composed yet
+            raise ValueError(f"{side}: ffn_type: moe is not composed with "
+                             "pipeline_parallel yet; shard experts via "
+                             "train.tensor_parallel instead")
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +114,7 @@ def pp_train_context(mesh: Mesh, n_micro: int | None = None):
 
 def maybe_pp_backbone(backbone_params, *, dim: int, n_head: int,
                       rope_theta: float, max_seq_len: int, conv_first: bool,
-                      causal: bool):
+                      causal: bool, remat: bool = False):
     """Return a pipeline backbone_fn when a pp_train_context is active,
     else None. The per-layer params are stage-stacked INSIDE the traced
     program (one jnp.stack per leaf — gradients flow back through the stack
@@ -121,7 +133,7 @@ def maybe_pp_backbone(backbone_params, *, dim: int, n_head: int,
     cos, sin = precompute_rope(dim // n_head, max_seq_len, rope_theta)
     return pp_backbone_fn(mesh, stacked, n_head=n_head, cos=cos, sin=sin,
                           conv_first=conv_first, causal=causal,
-                          n_micro=n_micro)
+                          n_micro=n_micro, remat=remat)
 
 
 def stack_stage_params(backbone_params, n_stages: int):
@@ -140,7 +152,7 @@ def stack_stage_params(backbone_params, n_stages: int):
 
 def pp_backbone_fn(mesh: Mesh, stacked, *, n_head: int, cos, sin,
                    conv_first: bool = True, causal: bool = False,
-                   n_micro: int | None = None):
+                   n_micro: int | None = None, remat: bool = False):
     """Build a (h, backbone_params) -> h replacement for conformer_backbone
     that runs `stacked` (stack_stage_params output, sharded over 'pipe') as
     a GPipe pipeline. The backbone_params argument is ignored — weights live
@@ -158,6 +170,12 @@ def pp_backbone_fn(mesh: Mesh, stacked, *, n_head: int, cos, sin,
         cos_t, sin_t = cos[:T], sin[:T]
         layer = functools.partial(conformer_layer, n_head=n_head,
                                   conv_first=conv_first, causal=causal)
+        if remat:
+            # without this, the stage scan saves every layer's activations
+            # per microbatch — exactly the memory the deep-stack regime PP
+            # exists for can't afford (cfg.train.remat threads through
+            # maybe_pp_backbone)
+            layer = jax.checkpoint(layer)
 
         def local(stage_stack, mbs_l):
             stage_params = jax.tree.map(lambda a: a[0], stage_stack)
@@ -219,6 +237,7 @@ def jit_pp_tokenize(cfg, mesh: Mesh, *, n_micro: int | None = None):
     if e.type != "conformer_stft":
         raise ValueError("pipeline parallelism targets the conformer family; "
                          "BigCodec scales via dp/fsdp/sp (parallel/)")
+    validate_pp(cfg, mesh.shape["pipe"], which=("encoder",))
     n_stages = mesh.shape["pipe"]
     cos, sin = precompute_rope(e.dim // e.n_head, e.max_seq_len, e.rope_theta)
 
@@ -252,6 +271,7 @@ def jit_pp_synthesize(cfg, mesh: Mesh, *, n_micro: int | None = None):
     d = cfg.model.codec_decoder
     if d.type != "conformer_istft":
         raise ValueError("pipeline parallelism targets the conformer family")
+    validate_pp(cfg, mesh.shape["pipe"], which=("decoder",))
     n_stages = mesh.shape["pipe"]
     cos, sin = precompute_rope(d.dim // d.n_head, d.max_seq_len, d.rope_theta)
 

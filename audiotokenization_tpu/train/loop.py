@@ -141,9 +141,9 @@ def run_validation(cfg: Config, gen_params, val_loader, *, mesh=None,
             if cap >= len(gt):
                 idxs = range(len(gt))
             else:
-                idxs = np.random.RandomState(
-                    (int(step or 0) << 10) ^ i).choice(len(gt), cap,
-                                                       replace=False)
+                seed = ((int(step or 0) << 10) ^ i) & 0xFFFFFFFF
+                idxs = np.random.RandomState(seed).choice(len(gt), cap,
+                                                          replace=False)
             for j in idxs:
                 agg["quality_items"].append(1.0)
                 s = M.stoi(gt[j], gen[j], cfg.dataset.sample_rate)

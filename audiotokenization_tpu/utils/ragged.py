@@ -46,6 +46,15 @@ from ..parallel.sp import _conv_front, _edge_mask
 
 def _check_exactness(part, name: str):
     if part.type in ("conformer_stft", "conformer_istft"):
+        if getattr(part, "ffn_type", "dense") == "moe":
+            # capacity-based MoE routing is batch-composition-dependent by
+            # construction (expert capacity = f(batch tokens), cross-sample
+            # slot competition — ops/moe.py docstring): a batched result can
+            # never equal per-file processing, so the exact-ragged contract
+            # excludes it. Use per-file eval (--exact / batch_size 1).
+            raise NotImplementedError(
+                f"ffn_type: moe {name}: capacity routing is batch-global; "
+                "no exact ragged path (evaluate per file)")
         return  # exact masked path: _conformer_encode/decode_masked
     if part.type != "bigcodec":
         raise NotImplementedError(f"no ragged path for {name} type {part.type}")

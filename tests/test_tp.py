@@ -193,6 +193,12 @@ def test_extract_cli_tensor_parallel_token_identical(tmp_path):
     assert ref.keys() == got.keys() and len(ref) == 2
     for k in ref:
         np.testing.assert_array_equal(ref[k], got[k])
+    # an explicit degree SMALLER than the attached device count must also
+    # work: the mesh spans exactly N devices so the B=1 batch never has to
+    # shard over a >1 data axis (round-4 review fix)
+    got4 = run("tp4", ["--tensor_parallel", "4"])
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got4[k])
 
 
 def test_tp_validation_rejects_bad_configs():
