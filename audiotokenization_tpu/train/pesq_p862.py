@@ -220,40 +220,45 @@ def _fine_align(ref, deg, fs, search: int):
     """Per-utterance fine delay: 64 ms Hann windows every 4 ms; weighted
     histogram of per-window best lags (weight = corr^0.125), triangular
     smoothing; returns (delay_samples, confidence) — the ITU time_align
-    histogram construction."""
+    histogram construction. All window correlations run as ONE batched FFT
+    (the loop formulation cost ~0.4 s/call, dominating val-time PESQ)."""
     win = int(fs * 0.064)
     step = int(fs * 0.004)
+    empty = (np.zeros(0, np.int64),) * 3
     if len(ref) < win or len(deg) < win:
         lag, _ = _xcorr_argmax(ref, deg)
-        return lag, 0.0
+        return lag, 0.0, empty
     h = np.hanning(win)
-    hist = np.zeros(2 * search + 1)
     nf = 1 << int(np.ceil(np.log2(win + 2 * search)))
-    starts = range(0, min(len(ref), len(deg)) - win, step)
-    for s in starts:
-        a = ref[s:s + win] * h
-        lo = max(s - search, 0)
-        b = deg[lo:min(s + win + search, len(deg))]
-        if len(b) < win:
-            continue
-        c = np.fft.irfft(np.conj(np.fft.rfft(a, nf)) * np.fft.rfft(b, nf), nf)
-        # lag L means deg segment begins at lo + L vs ref at s
-        valid = len(b) - win + 1
-        c = c[:valid]
-        k = int(np.argmax(np.abs(c)))
-        lag = (lo + k) - s
-        if -search <= lag <= search:
-            w = float(np.abs(c[k])) ** 0.125
-            hist[lag + search] += w
+    n = min(len(ref), len(deg))
+    # pad so every window's [s - search, s + win + search) slice exists;
+    # zeros contribute zero correlation, identical to skipping them
+    degp = np.concatenate([np.zeros(search), deg,
+                           np.zeros(search + win)])
+    starts = np.arange(0, n - win, step)
+    if len(starts) == 0:
+        return 0, 0.0, empty
+    idx_a = starts[:, None] + np.arange(win)[None, :]
+    A = (ref[idx_a] * h[None, :]).astype(np.float32)  # (S, win)
+    idx_b = starts[:, None] + np.arange(win + 2 * search)[None, :]
+    Bm = degp[idx_b].astype(np.float32)               # (S, win + 2*search)
+    # float32 FFTs: the histogram argmax is insensitive to the precision
+    # and they run ~2x faster (the dominant cost of the whole metric)
+    C = np.fft.irfft(np.conj(np.fft.rfft(A, nf, axis=1))
+                     * np.fft.rfft(Bm, nf, axis=1), nf, axis=1)
+    C = C[:, :2 * search + 1]  # lag s-search .. s+search relative to ref
+    k = np.argmax(np.abs(C), axis=1)                 # (S,)
+    w = np.abs(C[np.arange(len(starts)), k]) ** 0.125
+    hist = np.bincount(k, weights=w, minlength=2 * search + 1)
     if hist.sum() <= 0:
-        return 0, 0.0
+        return 0, 0.0, (starts, k - search, w)
     # triangular smoothing +-1 ms
     tri_w = max(int(fs * 0.001), 1)
     kern = 1.0 - np.abs(np.arange(-tri_w, tri_w + 1)) / (tri_w + 1)
     sm = np.convolve(hist, kern, mode="same")
     best = int(np.argmax(sm))
     conf = float(sm[best] / (sm.sum() + 1e-12))
-    return best - search, conf
+    return best - search, conf, (starts, k - search, w)
 
 
 def _align_utterances(ref, deg, fs):
@@ -266,7 +271,11 @@ def _align_utterances(ref, deg, fs):
     utts = _locate_utterances(energies)
     if not utts:
         utts = [(0, len(energies))]
-    search = int(fs * 0.125)  # +-125 ms fine-search around the crude delay
+    # fine search covers the RESIDUAL of the crude (4 ms-frame envelope)
+    # alignment: +-64 ms is ~16 envelope frames of slack (the crude stage
+    # can err by several frames on noisy signals), and the halved
+    # correlation span halves the FFT length (the metric's dominant cost)
+    search = int(fs * 0.064)
     out = []
     for a, b in utts:
         r0, r1 = a * frame, min(b * frame, len(ref))
@@ -275,15 +284,30 @@ def _align_utterances(ref, deg, fs):
         lo = max(d0 - search, 0)
         hi = min(d0 + (r1 - r0) + search, len(deg))
         seg_deg = deg[lo:hi]
-        lag, conf = _fine_align(seg_ref, seg_deg, fs, search)
+        lag, conf, (w_starts, w_lags, w_wts) = _fine_align(
+            seg_ref, seg_deg, fs, search)
         delay = crude + (lo - d0) + lag
-        # delay-discontinuity split: try halves; keep the split when both
-        # halves align more confidently than the whole (ITU split_align)
+        # delay-discontinuity split (ITU split_align): re-aligning the two
+        # halves costs two more batched-FFT passes, so only attempt it when
+        # the single pass's per-window lag evidence actually DISAGREES
+        # between halves (weighted-median lag difference > 2 ms) — for
+        # sample-aligned codec audio the halves agree and the whole metric
+        # runs one alignment pass per utterance.
         mid = (r1 - r0) // 2
-        if mid > int(fs * 0.3):
-            l1, c1 = _fine_align(seg_ref[:mid], deg[max(r0 + crude - search, 0):
+        halves_disagree = False
+        if len(w_starts) >= 8:
+            first = w_starts < mid
+            if first.any() and (~first).any():
+                def wmed(sel):
+                    order = np.argsort(w_lags[sel])
+                    cw = np.cumsum(w_wts[sel][order])
+                    return w_lags[sel][order][
+                        int(np.searchsorted(cw, cw[-1] / 2))]
+                halves_disagree = abs(wmed(first) - wmed(~first)) > fs * 0.002
+        if halves_disagree and mid > int(fs * 0.3):
+            l1, c1, _ = _fine_align(seg_ref[:mid], deg[max(r0 + crude - search, 0):
                                                    min(r0 + crude + mid + search, len(deg))], fs, search)
-            l2, c2 = _fine_align(seg_ref[mid:], deg[max(r0 + mid + crude - search, 0):
+            l2, c2, _ = _fine_align(seg_ref[mid:], deg[max(r0 + mid + crude - search, 0):
                                                    min(r1 + crude + search, len(deg))], fs, search)
             if min(c1, c2) > conf * 1.25 and abs(l1 - l2) > int(fs * 0.002):
                 base1 = max(r0 + crude - search, 0) - (r0 + crude)
