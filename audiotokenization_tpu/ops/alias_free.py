@@ -49,6 +49,10 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int):
 def upsample1d(x, filt, ratio: int = 2):
     """x: (B, C, T) -> (B, C, ratio*T); replicate-pad + transposed grouped conv."""
     from .conv import conv_transpose1d
+    # the filter tables are precomputed fp32 constants; under bf16 mixed-
+    # precision training the activations arrive bf16 and lax.conv demands
+    # matching dtypes (caught by the r4 antialias soak leg)
+    filt = filt.astype(x.dtype)
     C = x.shape[1]
     K = filt.shape[-1]
     stride = ratio
@@ -65,6 +69,7 @@ def upsample1d(x, filt, ratio: int = 2):
 def lowpass1d(x, filt, *, stride: int = 1):
     """Grouped low-pass conv with replicate padding (LowPassFilter1d)."""
     from .conv import conv1d
+    filt = filt.astype(x.dtype)  # see upsample1d
     C = x.shape[1]
     K = filt.shape[-1]
     even = K % 2 == 0

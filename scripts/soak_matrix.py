@@ -165,6 +165,7 @@ def resume_determinism():
                     "--no_wandb", "--override",
                     f"dataset.train.filelist={WORK / 'filelist.txt'}",
                     f"dataset.val.filelist={WORK / 'filelist.txt'}",
+                    f"dataset.test.filelist={WORK / 'filelist_test.txt'}",
                     "dataset.train.batch_size=32",
                     "dataset.val.batch_size=32",
                     "dataset.train.min_audio_length=16000",

@@ -258,3 +258,20 @@ def test_train_step_accumulation_ema_vq_threads_state():
     assert not np.allclose(np.asarray(state.gen_params["quantizer"]["embed"]),
                            np.asarray(s1.gen_params["quantizer"]["embed"]))
     assert float(np.asarray(s1.gen_params["quantizer"]["cluster_size"]).sum()) > 0
+
+
+def test_train_step_bf16_antialias():
+    """bf16 mixed precision + antialias (cfgs/config11 family): the
+    alias-free filter tables are fp32 constants and must cast to the
+    activation dtype — caught live by the r4 TPU soak's antialias leg
+    (lax.conv dtype mismatch)."""
+    cfg = tiny_config()
+    cfg.train.precision = "bf16"
+    cfg.model.codec_encoder.antialias = True
+    cfg.model.codec_decoder.antialias = True
+    state = init_train_state(jax.random.key(0), cfg)
+    step = jit_train_step(cfg)
+    batch = {"wav": jnp.asarray(
+        (np.random.RandomState(0).randn(2, 800) * 0.1).astype(np.float32))}
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["gen_loss"]))
