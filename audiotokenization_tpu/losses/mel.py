@@ -42,7 +42,16 @@ class MultiResolutionMelLoss:
     def _log_mel(self, x, n_fft, hop, fb, win):
         s = stft(x, n_fft=n_fft, hop_length=hop, win_length=n_fft, window=win,
                  center=True, pad_mode="reflect")
-        mag = jnp.sqrt(s.real ** 2 + s.imag ** 2)
+        # sqrt of power clamped away from exact 0: d|z| components are
+        # bounded (Re/|z| in [-1,1]) EXCEPT at z == 0, where plain sqrt
+        # backpropagates 0/0 = NaN while torch's complex abs defines the
+        # gradient as 0. An exactly-zero bin is rare but real — a near-
+        # silent stretch of the bf16 generator output rounded to 0 by one
+        # XLA fusion poisoned a whole training run through this backward
+        # (r4 soak resume branches, finite loss + NaN gradient). The clamp
+        # reproduces torch's 0 subgradient; forward shift (1e-10 amplitude)
+        # is 5 orders below the log clamp floor.
+        mag = jnp.sqrt(jnp.maximum(s.real ** 2 + s.imag ** 2, 1e-20))
         mel = jnp.einsum("mf,bft->bmt", fb, mag)
         if self.pow != 1.0:
             mel = mel ** self.pow

@@ -221,7 +221,9 @@ def mel_spectrogram(x, *, sample_rate: int, n_fft: int, hop_length: int,
                             fmin=fmin, fmax=fmax)
     s = stft(x, n_fft=n_fft, hop_length=hop_length, win_length=n_fft,
              center=True, pad_mode="reflect")
-    mag = jnp.sqrt(s.real ** 2 + s.imag ** 2)
+    # clamp matches torch complex-abs's 0 subgradient at exactly-zero bins
+    # (plain sqrt backpropagates 0/0 = NaN there — see losses/mel.py)
+    mag = jnp.sqrt(jnp.maximum(s.real ** 2 + s.imag ** 2, 1e-20))
     if power != 1.0:
         mag = mag ** power
     return jnp.einsum("mf,...ft->...mt", fb, mag)

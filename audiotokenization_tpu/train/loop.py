@@ -356,6 +356,7 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
         logger.log({"sanity_val_ok": 1.0}, step)
     t_last = time.perf_counter()
     hist_accum = None
+    skip_accum = 0.0
     while step < max_steps:
         for batch in train_loader:
             if step >= max_steps:
@@ -372,11 +373,19 @@ def train(cfg: Config, *, train_loader, val_loader=None, run_dir: str,
                 jax.profiler.stop_trace()
             h = metrics.pop("codebook_hist")
             hist_accum = h if hist_accum is None else hist_accum + h
+            if "nonfinite_skipped" in metrics:
+                # accumulate between logs: sampling the per-step flag every
+                # log_every_n_steps silently hid guarded skips (the r4 soak
+                # reported 0 skips for a run that had them)
+                skip_accum = skip_accum + metrics.pop("nonfinite_skipped")
             if step % cfg.train.log_every_n_steps == 0:
                 now = time.perf_counter()
                 sps = cfg.train.log_every_n_steps / (now - t_last)
                 t_last = now
                 logs = {k: float(v) for k, v in metrics.items()}
+                if cfg.train.guard_nonfinite:
+                    logs["nonfinite_skipped"] = float(skip_accum)
+                    skip_accum = 0.0
                 logs["steps_per_sec"] = sps
                 logs["codebook_perplexity"] = float(M.perplexity_from_histogram(hist_accum))
                 logs["codebook_utilization"] = float(M.utilization_from_histogram(hist_accum))

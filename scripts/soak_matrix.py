@@ -172,6 +172,7 @@ def resume_determinism():
                     "dataset.val.min_audio_length=16000",
                     "dataset.val.quality_metric_items=1",
                     "train.max_steps=900",
+                    "train.guard_nonfinite=true",
                     "train.log_every_n_steps=10",
                     "train.val_every_n_steps=450",
                     "train.checkpoint_every_n_steps=450",

@@ -109,3 +109,25 @@ def test_base512_grid_config_instantiates():
     out = C.forward(params, cfg, {"wav": wav})
     assert out.gen_wav.shape == (1, 1, 800)
     assert out.vq_code.shape == (1, 1, 4)
+
+
+def test_mel_loss_gradient_finite_at_exact_zero_frames():
+    """An exactly-zero stretch of generator output must not NaN the mel
+    backward: plain sqrt(re^2+im^2) backpropagates 0/0 at a zero bin while
+    torch's complex abs defines the subgradient as 0 — this poisoned a real
+    TPU training run (r4 soak resume branches, finite loss + NaN grad)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audiotokenization_tpu.losses.mel import MultiResolutionMelLoss
+
+    mel = MultiResolutionMelLoss(sample_rate=16000)
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(2, 4000).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(2, 4000).astype(np.float32) * 0.1)
+    x = x.at[:, 1000:3000].set(0.0)  # silent stretch: zero STFT frames
+
+    val, g = jax.jit(jax.value_and_grad(lambda x: mel(x, y)))(x)
+    assert np.isfinite(float(val))
+    g = np.asarray(g)
+    assert np.isfinite(g).all(), "mel backward NaN at exact-zero frames"
