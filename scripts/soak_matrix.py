@@ -179,7 +179,8 @@ def resume_determinism():
                     "train.num_sanity_val_steps=0"])
         lines = (dst / "metrics.jsonl").read_text().splitlines()[n0:]
         rows = [json.loads(l) for l in lines]
-        metrics = [{k: v for k, v in r.items() if k != "time"} for r in rows]
+        metrics = [{k: v for k, v in r.items()
+                    if k not in ("time", "steps_per_sec")} for r in rows]
         extract(["--dataset_root", str(WORK), "--save_path", str(dst),
                  "--dataset_path", "data", "--ext_audio", ".wav",
                  "--subsets", "train", "--batch_size", "8",
