@@ -152,3 +152,22 @@ def test_pesq_metric_dispatches_to_native():
     else:
         assert v is not None and abs(v - pesq_p862(ref, ref, FS)) < 1e-9
     assert pesq_metric(np.zeros(FS), np.zeros(FS), FS) is None
+
+
+def test_pesq_8k_narrowband():
+    """The 8 kHz narrowband model (Nfft 256, 42 bands, P.862.1 map) runs and
+    behaves: max on identical, monotone under noise."""
+    fs = 8000
+    rng = np.random.RandomState(5)
+    t = np.arange(fs * 2) / fs
+    ref = (0.4 * np.sin(2 * np.pi * 220 * t)
+           * (0.5 + 0.5 * (np.sin(2 * np.pi * 3 * t) > 0))).astype(np.float32)
+    ref += 0.01 * rng.randn(len(ref)).astype(np.float32)
+    top = pesq_p862(ref, ref, fs, mode="nb")
+    assert 4.0 < top <= 4.6
+    vals = [top]
+    for snr in (30, 15, 5):
+        noise = rng.randn(len(ref)).astype(np.float32)
+        noise *= np.linalg.norm(ref) / np.linalg.norm(noise) / (10 ** (snr / 20))
+        vals.append(pesq_p862(ref, ref + noise, fs, mode="nb"))
+    assert all(a > b for a, b in zip(vals, vals[1:])), vals
