@@ -1,0 +1,125 @@
+"""Native wav2vec 2.0 / HuBERT / UniSpeech-SAT SSL upstreams.
+
+Completes the s3prl upstream family the reference's speaker-verification
+suite taps for layer-weighted features
+(BigCodec_SSL/speaker_verification/models/ecapa_tdnn.py:258-273: the
+WavLM / HuBERT / wav2vec2 / UniSpeech-SAT feature extractors). All three
+families here share one architecture — the wav2vec2 encoder — which is
+exactly WavLM (models/wavlm.py) minus the gated relative position bias:
+
+  raw wav (B, T)
+  -> conv feature encoder (group-norm first layer in 'group' mode,
+     per-layer LayerNorm in 'layer' mode)           [shared with wavlm]
+  -> feature projection (LayerNorm + Linear)
+  -> conv positional embedding added to the stream  [shared with wavlm]
+  -> N transformer layers with PLAIN softmax attention (no position
+     bias); post-LN ('group'/base) or stable pre-LN ('layer'/large)
+  -> hidden_states list [(B, T', C)] * (L + 1), the s3prl surface
+     consumed by ssl_weighted_features.
+
+Behavioral spec: transformers' modeling_wav2vec2.py / modeling_hubert.py /
+modeling_unispeech_sat.py — the three torch modules share this encoder and
+a common state-dict layout, verified by golden parity against each actual
+torch module at random init in tests/test_wav2vec2.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .wavlm import _conv1d  # noqa: F401  (re-export surface parity)
+from .wavlm import _feed_forward, _layer_norm, _pos_conv_embed, feature_encoder
+
+
+@dataclasses.dataclass
+class Wav2Vec2Config:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
+    conv_bias: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = False  # True for the -large checkpoints
+    layer_norm_eps: float = 1e-5
+
+
+def _attention(p, x, cfg: Wav2Vec2Config):
+    """Plain multi-head softmax attention (modeling_wav2vec2.py, the
+    Wav2Vec2Attention used unchanged by Hubert/UniSpeechSat)."""
+    from ..ops.conv import linear
+
+    B, T, C = x.shape
+    H = cfg.num_attention_heads
+    D = C // H
+    scale = D ** -0.5
+    q = linear(x, p["q"]) * scale
+    k = linear(x, p["k"])
+    v = linear(x, p["v"])
+    q = jnp.transpose(q.reshape(B, T, H, D), (0, 2, 1, 3))
+    k = jnp.transpose(k.reshape(B, T, H, D), (0, 2, 1, 3))
+    v = jnp.transpose(v.reshape(B, T, H, D), (0, 2, 1, 3))
+    w = jax.nn.softmax(jnp.einsum("bhtd,bhsd->bhts", q, k), axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, v)
+    return linear(jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, C), p["out"])
+
+
+def wav2vec2_apply(params, cfg: Wav2Vec2Config, wav, *, output_layer=None):
+    """wav (B, T) -> list of hidden states [(B, T', C)] * (L + 1) — the
+    s3prl layer-weighted-features surface. output_layer: return just that
+    hidden state instead (0 = encoder input)."""
+    eps = cfg.layer_norm_eps
+    x = feature_encoder(params, cfg, wav)
+    x = jnp.swapaxes(x, 1, 2)  # (B, T', C_conv)
+    x = _layer_norm(x, params["feat_proj_ln"], eps)
+    from ..ops.conv import linear
+
+    h = linear(x, params["feat_proj"])
+    h = h + _pos_conv_embed(params["pos_conv"], cfg, h)
+    if not cfg.do_stable_layer_norm:
+        h = _layer_norm(h, params["encoder_ln"], eps)
+    hiddens = [h]
+    for lp in params["layers"]:
+        if cfg.do_stable_layer_norm:  # pre-LN (large)
+            h = h + _attention(lp["attn"], _layer_norm(h, lp["ln1"], eps), cfg)
+            h = h + _feed_forward(lp["ffn"], _layer_norm(h, lp["ln2"], eps))
+        else:  # post-LN (base)
+            h = _layer_norm(h + _attention(lp["attn"], h, cfg), lp["ln1"], eps)
+            h = _layer_norm(h + _feed_forward(lp["ffn"], h), lp["ln2"], eps)
+        hiddens.append(h)
+    if cfg.do_stable_layer_norm:
+        hiddens[-1] = _layer_norm(hiddens[-1], params["encoder_ln"], eps)
+    if output_layer is not None:
+        return hiddens[output_layer]
+    return hiddens
+
+
+def make_ssl_fn(params, cfg: Wav2Vec2Config):
+    """ssl_fn for models/ecapa_tdnn.extract_features(feat_type='ssl')."""
+    def fn(wav):
+        return wav2vec2_apply(params, cfg, wav)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict conversion (Wav2Vec2Model / HubertModel /
+# UniSpeechSatModel share this layout; wavlm adds only the rel-pos keys)
+# ---------------------------------------------------------------------------
+
+def convert_wav2vec2(sd, cfg: Wav2Vec2Config):
+    """transformers {Wav2Vec2,Hubert,UniSpeechSat}Model.state_dict()
+    (numpy values) -> param tree. Extra pretraining-only keys in the state
+    dict (masked_spec_embed, quantizer/project heads) are ignored — they
+    are not part of the s3prl hidden-state surface."""
+    from .wavlm import convert_wavlm
+
+    tree = convert_wavlm(sd, cfg, _family="wav2vec2")
+    return tree

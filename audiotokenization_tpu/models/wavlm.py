@@ -212,8 +212,12 @@ def make_ssl_fn(params, cfg: WavLMConfig):
 # torch state-dict conversion (WavLMModel layout)
 # ---------------------------------------------------------------------------
 
-def convert_wavlm(sd, cfg: WavLMConfig):
-    """transformers WavLMModel.state_dict() (numpy values) -> param tree."""
+def convert_wavlm(sd, cfg: WavLMConfig, *, _family: str = "wavlm"):
+    """transformers WavLMModel.state_dict() (numpy values) -> param tree.
+
+    _family="wav2vec2" converts the bias-free layout shared by
+    Wav2Vec2Model / HubertModel / UniSpeechSatModel (models/wav2vec2.py):
+    identical keys minus the gated-relative-position ones."""
     def lin(prefix):
         return {"w": jnp.asarray(sd[prefix + ".weight"]),
                 "b": jnp.asarray(sd[prefix + ".bias"])}
@@ -249,29 +253,34 @@ def convert_wavlm(sd, cfg: WavLMConfig):
     layers = []
     for i in range(cfg.num_hidden_layers):
         pre = f"encoder.layers.{i}"
+        attn = {
+            "q": lin(f"{pre}.attention.q_proj"),
+            "k": lin(f"{pre}.attention.k_proj"),
+            "v": lin(f"{pre}.attention.v_proj"),
+            "out": lin(f"{pre}.attention.out_proj"),
+        }
+        if _family == "wavlm":
+            attn["gru_rel_pos_linear"] = lin(
+                f"{pre}.attention.gru_rel_pos_linear")
+            attn["gru_rel_pos_const"] = jnp.asarray(
+                sd[f"{pre}.attention.gru_rel_pos_const"]).reshape(-1)
         layers.append({
-            "attn": {
-                "q": lin(f"{pre}.attention.q_proj"),
-                "k": lin(f"{pre}.attention.k_proj"),
-                "v": lin(f"{pre}.attention.v_proj"),
-                "out": lin(f"{pre}.attention.out_proj"),
-                "gru_rel_pos_linear": lin(f"{pre}.attention.gru_rel_pos_linear"),
-                "gru_rel_pos_const": jnp.asarray(
-                    sd[f"{pre}.attention.gru_rel_pos_const"]).reshape(-1),
-            },
+            "attn": attn,
             "ffn": {"in": lin(f"{pre}.feed_forward.intermediate_dense"),
                     "out": lin(f"{pre}.feed_forward.output_dense")},
             "ln1": ln(f"{pre}.layer_norm"),
             "ln2": ln(f"{pre}.final_layer_norm"),
         })
 
-    return {
+    tree = {
         "conv_layers": conv_layers,
         "feat_proj_ln": ln("feature_projection.layer_norm"),
         "feat_proj": lin("feature_projection.projection"),
         "pos_conv": pos_conv,
         "encoder_ln": ln("encoder.layer_norm"),
-        "rel_attn_embed": jnp.asarray(
-            sd["encoder.layers.0.attention.rel_attn_embed.weight"]),
         "layers": layers,
     }
+    if _family == "wavlm":
+        tree["rel_attn_embed"] = jnp.asarray(
+            sd["encoder.layers.0.attention.rel_attn_embed.weight"])
+    return tree
