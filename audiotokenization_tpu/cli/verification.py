@@ -27,10 +27,25 @@ def main(argv=None):
                         "SV release) converted via convert_ecapa_from_torch")
     p.add_argument("--smoke", action="store_true",
                    help="allow random-init weights (scores not meaningful)")
-    p.add_argument("--feat_type", choices=("fbank", "mfcc"), default="fbank",
-                   help="acoustic frontend (models/ecapa_tdnn.py; the "
-                        "s3prl-style SSL frontend is available via the "
-                        "extract_features API with an SSL teacher)")
+    p.add_argument("--feat_type", choices=("fbank", "mfcc", "ssl"),
+                   default="fbank",
+                   help="acoustic frontend (models/ecapa_tdnn.py); 'ssl' is "
+                        "the s3prl-style layer-weighted frontend over a "
+                        "native upstream (--ssl_family/--ssl_checkpoint)")
+    p.add_argument("--ssl_family",
+                   choices=("wavlm", "wav2vec2", "hubert", "unispeech_sat"),
+                   default="wavlm",
+                   help="SSL upstream family (reference "
+                        "speaker_verification/models/ecapa_tdnn.py:258-273)")
+    p.add_argument("--ssl_checkpoint", type=str, default=None,
+                   help="transformers-layout torch state dict for the "
+                        "upstream (config inferred from weight shapes)")
+    p.add_argument("--ssl_heads", type=int, default=None,
+                   help="override inferred attention-head count "
+                        "(default: hidden_size // 64)")
+    p.add_argument("--ssl_strides", type=str, default=None,
+                   help="override inferred conv strides, comma-separated "
+                        "(default: the canonical 5,2,2,2,2,2,2)")
     args = p.parse_args(argv)
 
     import jax
@@ -44,7 +59,28 @@ def main(argv=None):
     from ..models.ecapa_tdnn import init_ecapa_tdnn, speaker_similarity
     from ..ops.resample import resample
 
-    n_mels = {"fbank": 80, "mfcc": 40}[args.feat_type]
+    ssl_fn, ssl_layers, ssl_hidden = None, None, None
+    if args.feat_type == "ssl":
+        if args.ssl_checkpoint is None:
+            raise SystemExit("--feat_type ssl needs --ssl_checkpoint "
+                             "(a transformers-layout torch state dict)")
+        import torch
+
+        from ..models.wav2vec2 import load_ssl_upstream
+
+        ssd = torch.load(args.ssl_checkpoint, map_location="cpu",
+                         weights_only=True)
+        ssd = ssd.get("model", ssd.get("state_dict", ssd))
+        ssd = {k: v.numpy() for k, v in ssd.items()}
+        strides = (tuple(int(s) for s in args.ssl_strides.split(","))
+                   if args.ssl_strides else None)
+        ssl_fn, ssl_cfg = load_ssl_upstream(
+            ssd, args.ssl_family, num_attention_heads=args.ssl_heads,
+            conv_stride=strides)
+        ssl_layers = ssl_cfg.num_hidden_layers + 1
+        ssl_hidden = ssl_cfg.hidden_size
+
+    n_mels = {"fbank": 80, "mfcc": 40, "ssl": ssl_hidden}[args.feat_type]
     if args.torch_checkpoint:
         import torch
 
@@ -73,8 +109,14 @@ def main(argv=None):
             wav = np.asarray(resample(jnp.asarray(wav), sr, 16000))
         return jnp.asarray(wav)[None]
 
+    kw = {}
+    if args.feat_type == "ssl":
+        fw = params.get("feature_weight")
+        if fw is None:  # untrained layer weights: uniform softmax
+            fw = jnp.zeros((ssl_layers,))
+        kw = dict(ssl_fn=ssl_fn, feature_weight=fw)
     sim = float(speaker_similarity(params, load(args.wav1), load(args.wav2),
-                                   feat_type=args.feat_type)[0])
+                                   feat_type=args.feat_type, **kw)[0])
     print(json.dumps({"similarity": sim,
                       "trained_weights": args.checkpoint is not None}))
 

@@ -123,3 +123,84 @@ def convert_wav2vec2(sd, cfg: Wav2Vec2Config):
 
     tree = convert_wavlm(sd, cfg, _family="wav2vec2")
     return tree
+
+
+_CANONICAL_STRIDE = {7: (5, 2, 2, 2, 2, 2, 2)}
+
+
+def infer_config_from_sd(sd, family: str, *, num_attention_heads=None,
+                         conv_stride=None):
+    """Infer the model config from a transformers state dict so the CLI can
+    load any published checkpoint of the family without a config file.
+
+    Shape-derivable fields (conv dims/kernels, hidden/intermediate size,
+    layer count, norm layout, conv bias, wavlm bucket count) are read from
+    the weights. Non-derivable ones follow the published-checkpoint
+    conventions: head dim 64, the canonical 7-stage stride (5,2,2,2,2,2,2),
+    max_bucket_distance 800, and stable pre-LN iff feat_extract_norm is
+    'layer' (true for every base/large release of these families). Pass
+    num_attention_heads / conv_stride to override for nonstandard models.
+    """
+    import numpy as np
+
+    def shape(k):
+        return tuple(np.asarray(sd[k]).shape)
+
+    n_conv = 1 + max(int(k.split(".")[2]) for k in sd
+                     if k.startswith("feature_extractor.conv_layers."))
+    conv_dim = tuple(shape(f"feature_extractor.conv_layers.{i}.conv.weight")[0]
+                     for i in range(n_conv))
+    conv_kernel = tuple(
+        shape(f"feature_extractor.conv_layers.{i}.conv.weight")[2]
+        for i in range(n_conv))
+    if conv_stride is None:
+        if n_conv not in _CANONICAL_STRIDE:
+            raise ValueError(
+                f"cannot infer conv_stride for a {n_conv}-stage feature "
+                "extractor; pass conv_stride explicitly")
+        conv_stride = _CANONICAL_STRIDE[n_conv]
+    hidden = shape("feature_projection.projection.weight")[0]
+    n_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("encoder.layers."))
+    inter = shape("encoder.layers.0.feed_forward.intermediate_dense.weight")[0]
+    norm = ("layer" if "feature_extractor.conv_layers.1.layer_norm.weight"
+            in sd else "group")
+    # pos-conv kernel + groups from the (folded or normed) weight shape
+    # (C_out, C_in/groups, k)
+    pc = "encoder.pos_conv_embed.conv"
+    for key in (f"{pc}.parametrizations.weight.original1",
+                f"{pc}.weight_g", f"{pc}.weight_v", f"{pc}.weight"):
+        if key in sd and "weight_g" not in key:
+            pos_shape = shape(key)
+            break
+    kw = dict(
+        num_conv_pos_embeddings=pos_shape[2],
+        num_conv_pos_embedding_groups=hidden // pos_shape[1],
+        hidden_size=hidden, num_hidden_layers=n_layers,
+        num_attention_heads=num_attention_heads or max(1, hidden // 64),
+        intermediate_size=inter, conv_dim=conv_dim, conv_kernel=conv_kernel,
+        conv_stride=tuple(conv_stride), feat_extract_norm=norm,
+        conv_bias="feature_extractor.conv_layers.0.conv.bias" in sd,
+        do_stable_layer_norm=(norm == "layer"))
+    if family == "wavlm":
+        from .wavlm import WavLMConfig
+
+        return WavLMConfig(
+            **kw,
+            num_buckets=shape(
+                "encoder.layers.0.attention.rel_attn_embed.weight")[0])
+    return Wav2Vec2Config(**kw)
+
+
+def load_ssl_upstream(sd, family: str, **infer_kw):
+    """(state dict, family) -> (ssl_fn, cfg): one entry point for every
+    s3prl upstream family of the reference SV suite
+    (speaker_verification/models/ecapa_tdnn.py:258-273)."""
+    cfg = infer_config_from_sd(sd, family, **infer_kw)
+    if family == "wavlm":
+        from .wavlm import convert_wavlm, make_ssl_fn as mk
+
+        return mk(convert_wavlm(sd, cfg), cfg), cfg
+    if family in ("wav2vec2", "hubert", "unispeech_sat"):
+        return make_ssl_fn(convert_wav2vec2(sd, cfg), cfg), cfg
+    raise ValueError(f"unknown SSL family {family!r}")

@@ -91,3 +91,43 @@ def test_wav2vec2_as_ecapa_ssl_frontend():
     feats = ssl_weighted_features(ssl_fn(wav), weight)
     assert feats.shape[0] == 2 and feats.shape[1] == jcfg.hidden_size
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_infer_config_from_sd_roundtrip():
+    """Config inference from weight shapes recovers the tiny model's
+    derivable fields (strides/heads are the documented overrides)."""
+    from audiotokenization_tpu.models.wav2vec2 import infer_config_from_sd
+
+    model, jcfg = _mk("unispeech_sat", "layer")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = infer_config_from_sd(sd, "unispeech_sat",
+                               num_attention_heads=4, conv_stride=(5, 2, 2))
+    for f in ("hidden_size", "num_hidden_layers", "num_attention_heads",
+              "intermediate_size", "conv_dim", "conv_kernel", "conv_stride",
+              "feat_extract_norm", "conv_bias", "do_stable_layer_norm"):
+        assert getattr(cfg, f) == getattr(jcfg, f), f
+
+
+def test_verification_cli_ssl_frontend(tmp_path, capsys):
+    """cli.verification --feat_type ssl drives a native upstream end to end
+    (reference speaker_verification/verification.py + the s3prl frontend)."""
+    import json
+
+    from audiotokenization_tpu.cli.verification import main as ver_main
+    from audiotokenization_tpu.data.audio_io import write_wav
+
+    model, _ = _mk("hubert", "group")
+    ckpt = tmp_path / "hubert_tiny.pt"
+    torch.save(model.state_dict(), str(ckpt))
+    rng = np.random.RandomState(3)
+    wavs = []
+    for i in range(2):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, (rng.randn(3200) * 0.1).astype(np.float32), 16000)
+        wavs.append(str(p))
+    ver_main(["--wav1", wavs[0], "--wav2", wavs[1], "--smoke",
+              "--feat_type", "ssl", "--ssl_family", "hubert",
+              "--ssl_checkpoint", str(ckpt), "--ssl_heads", "4",
+              "--ssl_strides", "5,2,2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert -1.0 <= out["similarity"] <= 1.0
