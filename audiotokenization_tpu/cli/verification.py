@@ -33,10 +33,15 @@ def main(argv=None):
                         "the s3prl-style layer-weighted frontend over a "
                         "native upstream (--ssl_family/--ssl_checkpoint)")
     p.add_argument("--ssl_family",
-                   choices=("wavlm", "wav2vec2", "hubert", "unispeech_sat"),
+                   choices=("wavlm", "wav2vec2", "hubert", "unispeech_sat",
+                            # reference init_model names (verification.py:11-28)
+                            "wavlm_base_plus", "wavlm_large", "hubert_large",
+                            "wav2vec2_xlsr"),
                    default="wavlm",
                    help="SSL upstream family (reference "
-                        "speaker_verification/models/ecapa_tdnn.py:258-273)")
+                        "speaker_verification/models/ecapa_tdnn.py:258-273; "
+                        "the reference's init_model names are accepted as "
+                        "aliases)")
     p.add_argument("--ssl_checkpoint", type=str, default=None,
                    help="transformers-layout torch state dict for the "
                         "upstream (config inferred from weight shapes)")
@@ -74,8 +79,11 @@ def main(argv=None):
         ssd = {k: v.numpy() for k, v in ssd.items()}
         strides = (tuple(int(s) for s in args.ssl_strides.split(","))
                    if args.ssl_strides else None)
+        family = {"wavlm_base_plus": "wavlm", "wavlm_large": "wavlm",
+                  "hubert_large": "hubert", "wav2vec2_xlsr": "wav2vec2",
+                  }.get(args.ssl_family, args.ssl_family)
         ssl_fn, ssl_cfg = load_ssl_upstream(
-            ssd, args.ssl_family, num_attention_heads=args.ssl_heads,
+            ssd, family, num_attention_heads=args.ssl_heads,
             conv_stride=strides)
         ssl_layers = ssl_cfg.num_hidden_layers + 1
         ssl_hidden = ssl_cfg.hidden_size
