@@ -104,7 +104,8 @@ def test_infer_config_from_sd_roundtrip():
                                num_attention_heads=4, conv_stride=(5, 2, 2))
     for f in ("hidden_size", "num_hidden_layers", "num_attention_heads",
               "intermediate_size", "conv_dim", "conv_kernel", "conv_stride",
-              "feat_extract_norm", "conv_bias", "do_stable_layer_norm"):
+              "feat_extract_norm", "conv_bias", "do_stable_layer_norm",
+              "num_conv_pos_embeddings", "num_conv_pos_embedding_groups"):
         assert getattr(cfg, f) == getattr(jcfg, f), f
 
 
