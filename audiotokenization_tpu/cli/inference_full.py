@@ -290,6 +290,7 @@ def main(argv=None):
         "si_sdr": float(np.mean(agg["si_sdr"])) if agg["si_sdr"] else None,
         "stoi": float(np.mean(agg["stoi"])) if agg["stoi"] else None,
         "pesq": float(np.mean(agg["pesq"])) if agg["pesq"] else None,
+        "pesq_impl": M.pesq_impl() if agg["pesq"] else None,
         "codebook_used": len(usage),
         "codebook_size": cfg.model.codec_decoder.codebook_size,
         "utilization": len(usage) / cfg.model.codec_decoder.codebook_size,

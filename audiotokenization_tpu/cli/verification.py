@@ -46,8 +46,9 @@ def main(argv=None):
                    help="transformers-layout torch state dict for the "
                         "upstream (config inferred from weight shapes)")
     p.add_argument("--ssl_heads", type=int, default=None,
-                   help="override inferred attention-head count "
-                        "(default: hidden_size // 64)")
+                   help="override inferred attention-head count (default: "
+                        "rel_attn_embed width for wavlm, else "
+                        "hidden_size // 64)")
     p.add_argument("--ssl_strides", type=str, default=None,
                    help="override inferred conv strides, comma-separated "
                         "(default: the canonical 5,2,2,2,2,2,2)")
@@ -73,10 +74,33 @@ def main(argv=None):
 
         from ..models.wav2vec2 import load_ssl_upstream
 
-        ssd = torch.load(args.ssl_checkpoint, map_location="cpu",
-                         weights_only=True)
+        try:
+            ssd = torch.load(args.ssl_checkpoint, map_location="cpu",
+                             weights_only=True)
+        except Exception as exc:  # pickled s3prl/fairseq objects
+            raise SystemExit(
+                f"--ssl_checkpoint failed to load as a plain state dict "
+                f"({type(exc).__name__}: {exc}). s3prl/fairseq upstream "
+                "pickles are not supported — export the model to the "
+                "transformers layout first (e.g. save_pretrained from "
+                "transformers' WavLMModel/Wav2Vec2Model and point at its "
+                "pytorch_model.bin).") from exc
         ssd = ssd.get("model", ssd.get("state_dict", ssd))
-        ssd = {k: v.numpy() for k, v in ssd.items()}
+        ssd = {k: v.numpy() for k, v in ssd.items()
+               if hasattr(v, "numpy")}
+        if not any(k.startswith("feature_extractor.conv_layers.")
+                   for k in ssd):
+            hint = next((p for p in ("w2v_model.", "model.feature_extractor",
+                                     "w2v_encoder.")
+                         for k in ssd if k.startswith(p)), None)
+            raise SystemExit(
+                "--ssl_checkpoint is not a transformers-layout state dict "
+                "(no feature_extractor.conv_layers.* keys"
+                + (f"; found {hint}* keys, which looks like an s3prl/"
+                   "fairseq layout" if hint else "")
+                + "). Convert it to the transformers layout (HF hub "
+                "checkpoints of wavlm/wav2vec2/hubert/unispeech-sat load "
+                "directly).")
         strides = (tuple(int(s) for s in args.ssl_strides.split(","))
                    if args.ssl_strides else None)
         family = {"wavlm_base_plus": "wavlm", "wavlm_large": "wavlm",

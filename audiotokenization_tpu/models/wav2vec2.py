@@ -169,10 +169,19 @@ def infer_config_from_sd(sd, family: str, *, num_attention_heads=None,
     # (C_out, C_in/groups, k)
     pc = "encoder.pos_conv_embed.conv"
     for key in (f"{pc}.parametrizations.weight.original1",
-                f"{pc}.weight_g", f"{pc}.weight_v", f"{pc}.weight"):
-        if key in sd and "weight_g" not in key:
+                f"{pc}.weight_v", f"{pc}.weight"):
+        if key in sd:
             pos_shape = shape(key)
             break
+    else:
+        raise ValueError(
+            "cannot locate the pos_conv weight in the state dict (looked "
+            f"for {pc}.{{parametrizations.weight.original1,weight_v,weight}})"
+            " — is this a transformers-layout checkpoint?")
+    if num_attention_heads is None and family == "wavlm":
+        # exactly derivable: rel_attn_embed is Embedding(num_buckets, heads)
+        num_attention_heads = shape(
+            "encoder.layers.0.attention.rel_attn_embed.weight")[1]
     kw = dict(
         num_conv_pos_embeddings=pos_shape[2],
         num_conv_pos_embedding_groups=hidden // pos_shape[1],

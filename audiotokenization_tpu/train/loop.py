@@ -180,6 +180,10 @@ def _finalize_validation(agg, hist, codebook_size):
     results = {f"val_{k}": float(sums[i] / counts[i])
                for i, k in enumerate(keys)
                if counts[i] > 0 and k != "quality_items"}
+    if "val_pesq" in results:
+        # label the implementation behind the number (VERDICT r4 weak #5):
+        # ITU-package MOS and native-P.862 MOS are separate calibrations
+        results["val_pesq_impl"] = M.pesq_impl()
     if "quality_items" in keys and counts[keys.index("quality_items")] > 0:
         # surface the STOI/PESQ subsample size (global count across
         # processes) so the quality_metric_items cap is visible in the JSONL

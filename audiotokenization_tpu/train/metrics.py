@@ -218,6 +218,20 @@ def stoi(target: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
     return float(np.mean(scores))
 
 
+def pesq_impl() -> str:
+    """Which implementation pesq_metric dispatches to in this environment:
+    'itu_package' (the conformance oracle, preferred when importable) or
+    'native_p862' (train/pesq_p862.py with the transcribed ITU tables).
+    Emitted beside every pesq value (val/test JSONL, inference_full
+    summary.json) so artifacts state which calibration produced them."""
+    try:
+        import pesq  # noqa: F401
+
+        return "itu_package"
+    except ImportError:
+        return "native_p862"
+
+
 def pesq_metric(target: np.ndarray, est: np.ndarray, fs: int = 16000,
                 mode: str = "wb") -> Optional[float]:
     """PESQ MOS-LQO: the ITU `pesq` package when importable (the oracle),

@@ -9,93 +9,103 @@ this module implements the published P.862 pipeline natively:
   level alignment -> input filtering -> crude time alignment ->
   utterance segmentation -> per-utterance fine alignment (weighted
   correlation histogram) -> delay-discontinuity utterance splitting ->
-  perceptual model (Hann power spectra, Bark band densities, frequency/
-  gain compensation, Zwicker loudness, deadzone + asymmetry-weighted
-  disturbance, frame weighting) -> L6-over-intervals / L2-over-time
-  aggregation -> raw MOS -> P.862.2 (wb) / P.862.1 (nb) logistic mapping.
+  perceptual model (Hann power spectra, Bark band densities via the ITU
+  fixed tables, frequency/gain compensation, Zwicker loudness with the
+  low-band modified exponents, deadzone + asymmetry-weighted disturbance,
+  frame weighting, bad-interval realignment) -> L6-over-syllables /
+  L2-over-time aggregation -> raw MOS -> P.862.2 (wb) / P.862.1 (nb)
+  logistic mapping.
 
-Fidelity statement (honest scope):
-- Algorithm STRUCTURE follows ITU-T P.862 (02/2001) + P.862.2 stage by
-  stage, including real time alignment — unlike the retired zero-delay
-  estimator, delayed/shifted degraded signals are measured correctly.
-- Published constants used verbatim: 32 ms Hann frames at 50% overlap,
-  power-calibration target 1e7 over 350-3250 Hz, the P.862.2 wideband
-  input IIR section, Sp/Sl power & loudness calibration, Zwicker exponent
-  0.23, the 0.25-min deadzone, the ((P+50))^1.2 asymmetry rule (<3 -> 0,
-  cap 12), frame weight ((E_ref+1e5)/1e7)^0.04 with the 45 clip,
-  20-frame/10-step L6-L2 aggregation, MOS = 4.5 - 0.1 D - 0.0309 DA, and
-  the P.862.2 / P.862.1 logistic maps.
-- The ITU *fixed tables* (49-band Bark layout @16 kHz, per-band absolute
-  thresholds) are RECONSTRUCTED from their generative relations (uniform
-  Zwicker-Bark band edges over the FFT grid; Terhardt threshold-in-quiet
-  at band centres), and the disturbance-norm scale is calibrated on
-  published wb-PESQ anchor behaviors (identical -> 4.64, AWGN SNR ladder).
-  Exact table parity with the ITU C reference cannot be verified in this
-  image; the oracle-gated conformance test (tests/test_pesq_conformance.py)
-  asserts the MOS bound wherever the `pesq` package exists.
+Fidelity statement:
+- The ITU *fixed tables* (49-band Bark layout @16 kHz / 42 @8 kHz,
+  FFT-bin->band counts, power-density corrections, per-band absolute
+  thresholds) are TRANSCRIBED published standards constants
+  (train/pesq_tables.py, validated by structural identities in
+  tests/test_pesq_tables.py). There is NO free calibration parameter:
+  the disturbance norms are the ITU pseudo-Lp forms over the published
+  Bark widths, and Sp/Sl are the published calibration constants.
+- Perceptual model follows the ITU reference structure stage by stage:
+  total-audible power from band 1 with the 100x-threshold silence
+  criterion, frequency-response compensation of the reference via
+  (avg+1000) ratios clipped to [0.01, 100], short-term gain compensation
+  of the degraded with 0.8/0.2 first-order smoothing clipped to
+  [3e-4, 5], modified Zwicker exponents 0.23*min(6/(bark+2), 2)^0.15
+  below 4 Bark, 0.25-min deadzone, ((P+50)/(P+50))^1.2 asymmetry
+  (<3 -> 0, cap 12), pseudo-Lp frame norms (p=2 / p=1 asymmetric),
+  ((E_ref+1e5)/1e7)^0.04 frame weight with the 45 clip, bad-frame
+  (>30) interval realignment with per-frame minimum, 20-frame/10-step
+  L6 syllable -> weighted L2 time aggregation with the >1000-frame
+  linear time-weight ramp, MOS = 4.5 - 0.1 D - 0.0309 DA, and the
+  published P.862.2 / P.862.1 logistic maps.
+- The time-alignment stage is a vectorized redesign (batched-FFT
+  weighted-correlation histograms) of the ITU crude+fine+split search;
+  it produces the same per-utterance delay structure the model consumes.
+- Remaining known deltas vs the ITU C tool: level alignment integrates
+  over the original extent (the C tool includes its 320 ms zero
+  datapadding in the average) and uses a brick-wall 350-3250 Hz band
+  instead of the C tool's FIR; both differences are absorbed by the
+  model's own gain compensation. The oracle-gated conformance test
+  (tests/test_pesq_conformance.py) asserts a +-0.1 MOS bound wherever
+  the ITU `pesq` package is installed.
 """
 from __future__ import annotations
 
 import numpy as np
 
+from . import pesq_tables as _T
+
 # --- published P.862 constants ------------------------------------------------
 _TARGET_POWER = 1e7           # fix_power_level target (350-3250 Hz band power)
-_SP_16K = 6.910853e-6         # power-density calibration, 16 kHz
-_SP_8K = 2.764344e-5          # power-density calibration, 8 kHz
-_SL = 1.866055e-1             # loudness-density calibration (both rates)
 _ZWICKER = 0.23               # Zwicker loudness exponent
 _D_WEIGHT, _DA_WEIGHT = 0.1, 0.0309
-# P.862.2 wideband input filter (one IIR second-order section, 16 kHz)
-_WB_IIR_SOS = (2.740826, -5.4816519, 2.740826, -1.9444777, 0.94597794)
+_THRESHOLD_BAD_FRAMES = 30.0  # frame disturbance triggering realignment
+_SMEAR_RANGE = 2              # bad-interval boundary extension (frames)
+_SEARCH_RANGE_TRANSFORMS = 4  # bad-interval delay search, in FFT lengths
 
 _MODEL_CACHE: dict = {}
 
 
-# =============================================================================
-# Fixed-table reconstruction (documented in the module docstring)
-# =============================================================================
-
-def _bark(f):
-    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
-
-
 class _Model:
-    """Per-sample-rate tables: band layout, thresholds, window."""
+    """Per-sample-rate tables: ITU band mapping, thresholds, window."""
 
     def __init__(self, fs: int):
         if fs == 16000:
-            self.nfft, self.nb, self.sp = 512, 49, _SP_16K
+            self.nfft, self.nb = _T.NFFT_16K, _T.NB_16K
+            nr = _T.NR_OF_HZ_BANDS_PER_BARK_BAND_16K
+            corr = _T.POW_DENS_CORRECTION_FACTOR_16K
+            self.width = _T.WIDTH_OF_BAND_BARK_16K
+            self.abs_thresh = _T.ABS_THRESH_POWER_16K
+            centre = _T.CENTRE_OF_BAND_BARK_16K
+            sp, self.sl = _T.SP_16K, _T.SL_16K
+            self.wb_sos = _T.WB_IIR_SOS_16K
         elif fs == 8000:
-            self.nfft, self.nb, self.sp = 256, 42, _SP_8K
+            self.nfft, self.nb = _T.NFFT_8K, _T.NB_8K
+            nr = _T.NR_OF_HZ_BANDS_PER_BARK_BAND_8K
+            corr = _T.POW_DENS_CORRECTION_FACTOR_8K
+            self.width = _T.WIDTH_OF_BAND_BARK_8K
+            self.abs_thresh = _T.ABS_THRESH_POWER_8K
+            centre = _T.CENTRE_OF_BAND_BARK_8K
+            sp, self.sl = _T.SP_8K, _T.SL_8K
+            self.wb_sos = _T.WB_IIR_SOS_8K
         else:
             raise ValueError(f"PESQ supports 8 kHz / 16 kHz, got {fs}")
         self.fs = fs
         self.hop = self.nfft // 2
         n = np.arange(self.nfft)
         self.window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / self.nfft))
-        freqs = np.fft.rfftfreq(self.nfft, 1.0 / fs)  # (nfft/2+1,)
-        # Band layout: nb bands uniform on the Bark scale over (0, fs/2],
-        # each band owning the consecutive FFT bins (DC excluded) whose
-        # Bark value falls inside it — the structure of the ITU
-        # nr_of_hz_bands_per_bark_band tables.
-        edges = np.linspace(0.0, _bark(fs / 2.0) + 1e-9, self.nb + 1)
-        bin_band = np.clip(np.digitize(_bark(freqs[1:]), edges) - 1, 0, self.nb - 1)
-        self.W = np.zeros((self.nb, len(freqs)))
-        counts = np.zeros(self.nb)
-        for j, b in enumerate(bin_band):
-            self.W[b, j + 1] = 1.0
-            counts[b] += 1
-        counts = np.maximum(counts, 1)
-        self.W /= counts[:, None]          # mean power density per band
-        self.width = np.diff(edges)        # Bark widths (uniform here)
-        centers_b = 0.5 * (edges[:-1] + edges[1:])
-        fg = np.linspace(1.0, fs / 2.0, 8192)
-        self.center_hz = np.interp(centers_b, _bark(fg), fg)
-        khz = self.center_hz / 1000.0
-        thr_db = (3.64 * khz ** -0.8
-                  - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
-                  + 1e-3 * khz ** 4)
-        self.abs_thresh = 10.0 ** (np.clip(thr_db, -30.0, 60.0) / 10.0)
+        # FFT power bins -> Bark band map: consecutive bins per band per the
+        # ITU nr_of_hz_bands table (DC included in band 0), x correction x Sp
+        edges = np.concatenate([[0], np.cumsum(nr)])
+        self.nbins = int(edges[-1])            # == nfft // 2
+        W = np.zeros((self.nb, self.nbins))
+        for b in range(self.nb):
+            W[b, edges[b]:edges[b + 1]] = corr[b] * sp
+        self.Wt = W.T                          # (nbins, nb)
+        # pseudo-Lp / total-audible run over bands 1..Nb-1 (band 0 is DC)
+        self.total_width = float(self.width[1:].sum())
+        # modified Zwicker exponent below 4 Bark
+        h = np.where(centre < 4.0, 6.0 / (centre + 2.0), 1.0)
+        self.zwicker = _ZWICKER * np.minimum(h, 2.0) ** 0.15
 
 
 def _model(fs: int) -> _Model:
@@ -127,24 +137,24 @@ def _fix_power_level(x, fs):
     return x * np.sqrt(_TARGET_POWER / _band_power(x, fs, 350.0, 3250.0))
 
 
-def _wb_input_filter(x):
-    """P.862.2 wideband input filter: one IIR SOS (high-pass ~100 Hz with
-    gain), replacing the narrowband IRS receive characteristic."""
+def _wb_input_filter(x, m: _Model):
+    """P.862.2 wideband input filter: one IIR SOS per rate (high-pass ~100 Hz
+    with gain), replacing the narrowband IRS receive characteristic."""
     from scipy.signal import lfilter
 
-    b0, b1, b2, a1, a2 = _WB_IIR_SOS
+    b0, b1, b2, a1, a2 = m.wb_sos
     return lfilter([b0, b1, b2], [1.0, a1, a2], x)
 
 
 def _nb_input_filter(x, fs):
     """Narrowband IRS-like receive filter, applied in the frequency domain
-    (the ITU apply_filter uses a piecewise-dB gain curve)."""
+    (the ITU apply_filter piecewise-dB gain curve)."""
     pts_hz = np.array([0, 50, 100, 125, 160, 200, 250, 300, 350, 400,
                        500, 600, 700, 800, 1000, 1300, 1600, 2000, 2500,
                        3000, 3250, 3500, 4000, 5000, 6300, 8000], float)
     gains_db = np.array([-200, -40, -20, -12, -6, 0, 4, 6, 8, 10,
                          11, 12, 12, 12, 12, 12, 12, 12, 12,
-                         12, 10, 4, -200, -200, -200, -200], float)
+                         12, 12, 4, -200, -200, -200, -200], float)
     X = np.fft.rfft(x)
     f = np.fft.rfftfreq(len(x), 1.0 / fs)
     g = 10.0 ** (np.interp(f, pts_hz, gains_db) / 20.0)
@@ -281,8 +291,13 @@ def _align_utterances(ref, deg, fs):
         r0, r1 = a * frame, min(b * frame, len(ref))
         d0 = r0 + crude
         seg_ref = ref[r0:r1]
-        lo = max(d0 - search, 0)
-        hi = min(d0 + (r1 - r0) + search, len(deg))
+        # seg_deg starts AT d0: _fine_align pads internally for the +-search
+        # lag span, so passing extra left context here would shift the
+        # search center off crude (reachable range [crude-2s, crude] instead
+        # of crude+-s — a delayed signal whose residual is positive becomes
+        # unfindable)
+        lo = max(d0, 0)
+        hi = min(d0 + (r1 - r0), len(deg))
         seg_deg = deg[lo:hi]
         lag, conf, (w_starts, w_lags, w_wts) = _fine_align(
             seg_ref, seg_deg, fs, search)
@@ -305,13 +320,13 @@ def _align_utterances(ref, deg, fs):
                         int(np.searchsorted(cw, cw[-1] / 2))]
                 halves_disagree = abs(wmed(first) - wmed(~first)) > fs * 0.002
         if halves_disagree and mid > int(fs * 0.3):
-            l1, c1, _ = _fine_align(seg_ref[:mid], deg[max(r0 + crude - search, 0):
-                                                   min(r0 + crude + mid + search, len(deg))], fs, search)
-            l2, c2, _ = _fine_align(seg_ref[mid:], deg[max(r0 + mid + crude - search, 0):
-                                                   min(r1 + crude + search, len(deg))], fs, search)
+            l1, c1, _ = _fine_align(seg_ref[:mid], deg[max(r0 + crude, 0):
+                                                   min(r0 + crude + mid, len(deg))], fs, search)
+            l2, c2, _ = _fine_align(seg_ref[mid:], deg[max(r0 + mid + crude, 0):
+                                                   min(r1 + crude, len(deg))], fs, search)
             if min(c1, c2) > conf * 1.25 and abs(l1 - l2) > int(fs * 0.002):
-                base1 = max(r0 + crude - search, 0) - (r0 + crude)
-                base2 = max(r0 + mid + crude - search, 0) - (r0 + mid + crude)
+                base1 = max(r0 + crude, 0) - (r0 + crude)
+                base2 = max(r0 + mid + crude, 0) - (r0 + mid + crude)
                 out.append((r0, r0 + mid, crude + base1 + l1))
                 out.append((r0 + mid, r1, crude + base2 + l2))
                 continue
@@ -320,103 +335,161 @@ def _align_utterances(ref, deg, fs):
 
 
 # =============================================================================
-# Stage 4: perceptual model
+# Stage 4: perceptual model (ITU pesq_psychoacoustic_model structure)
 # =============================================================================
 
-def _frames(x, start, count, m: _Model):
-    idx = start + m.hop * np.arange(count)[:, None] + np.arange(m.nfft)[None, :]
-    idx = np.clip(idx, 0, len(x) - 1)
-    mask = (start + m.hop * np.arange(count)[:, None]
-            + np.arange(m.nfft)[None, :]) < len(x)
-    return x[idx] * mask
+def _bark_spectra(xpad, starts, m: _Model):
+    """Pitch power densities of the windows starting at `starts` into the
+    zero-padded signal `xpad` (one batched FFT; ITU short_term_fft +
+    freq_warping with the fixed bin->band tables)."""
+    idx = starts[:, None] + np.arange(m.nfft)[None, :]
+    F = np.fft.rfft(xpad[idx] * m.window[None, :], axis=1)
+    P = F.real ** 2 + F.imag ** 2
+    P[:, 0] *= 0.5  # ITU short_term_fft halves the DC power bin
+    return P[:, :m.nbins] @ m.Wt  # (frames, nb)
 
 
-def _bark_spectrum(frames_td, m: _Model):
-    F = np.fft.rfft(frames_td * m.window[None, :], axis=1)
-    P = (F.real ** 2 + F.imag ** 2)
-    return (P @ m.W.T) * m.sp  # (frames, nb) pitch power densities
-
-
-def _total_audible(P, m: _Model, factor: float = 1.0):
-    aud = np.where(P > m.abs_thresh[None, :] * factor, P, 0.0)
-    return aud.sum(axis=1)
+def _total_audible(P, m: _Model, factor: float):
+    """Sum of band powers above factor x absolute threshold, bands 1..Nb-1
+    (ITU total_audible)."""
+    Pb = P[:, 1:]
+    thr = factor * m.abs_thresh[None, 1:]
+    return np.where(Pb > thr, Pb, 0.0).sum(axis=1)
 
 
 def _loudness(P, m: _Model):
+    """Zwicker loudness densities with the ITU low-band modified exponents
+    (intensity_warping_of)."""
     thr = m.abs_thresh[None, :]
-    L = _SL * (thr / 0.5) ** _ZWICKER * ((0.5 + 0.5 * P / thr) ** _ZWICKER - 1.0)
+    mz = m.zwicker[None, :]
+    L = m.sl * (thr / 0.5) ** mz * ((0.5 + 0.5 * P / thr) ** mz - 1.0)
     return np.where(P > thr, L, 0.0)
 
 
-# Calibration of the disturbance norms for the reconstructed tables: the
-# ITU fixed tables define the absolute loudness-density units the 0.1/0.0309
-# MOS weights assume; with formula-generated tables one shared scale is
-# free. Fitted by least squares so speech-shaped anchors land at published
-# wb-PESQ values (identical 4.64, AWGN SNR 40/30/20/10/5 dB ~=
-# 4.5/4.3/3.5/1.8/1.4) — see tests/test_pesq_conformance.py.
-_D_SCALE = 1.52
-_DA_SCALE = 1.52
+def _disturbances(Pr, Pd, m: _Model):
+    """Per-frame (D, DA) from compensated pitch power densities: loudness
+    difference, 0.25-min deadzone, asymmetry weighting, pseudo-Lp norms
+    over bands 1..Nb-1 (ITU pseudo_Lp with p=2 / p=1)."""
+    Lr, Ld = _loudness(Pr, m), _loudness(Pd, m)
+    d = Ld - Lr
+    dead = 0.25 * np.minimum(Ld, Lr)
+    d = np.sign(d) * np.maximum(np.abs(d) - dead, 0.0)
+    asym = ((Pd + 50.0) / (Pr + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    w = m.width[None, 1:]
+    ad = np.abs(d[:, 1:])
+    d_f = np.sqrt(np.sum((ad * w) ** 2, axis=1) / m.total_width) * m.total_width
+    da_f = np.sum(ad * asym[:, 1:] * w, axis=1)
+    return d_f, da_f
+
+
+def _lpq_weight(df, tw):
+    """L6 over 20-frame 'syllable' intervals every 10 frames, then weighted
+    L2 over the interval series (ITU Lpq_weight, powers 6 and 2)."""
+    num = 0.0
+    den = 0.0
+    for s in range(0, len(df), 10):
+        chunk = np.minimum(df[s:s + 20], 45.0)
+        syl = np.mean(chunk ** 6.0) ** (1.0 / 6.0)
+        w = tw[s]
+        num += (w * syl) ** 2
+        den += w ** 2
+    if den <= 0:
+        return 0.0
+    return float(np.sqrt(num / den))
 
 
 def _perceptual(ref, deg, utts, m: _Model):
-    """Disturbance profiles over aligned frames -> (D, DA)."""
-    d_frames = []
-    da_frames = []
-    for (r0, r1, delay) in utts:
-        count = max((r1 - r0 - m.nfft) // m.hop + 1, 0)
-        if count <= 0:
-            continue
-        Pr = _bark_spectrum(_frames(ref, r0, count, m), m)
-        Pd = _bark_spectrum(_frames(deg, r0 + delay, count, m), m)
-        # frequency (transducer) compensation: equalize the REFERENCE's
-        # per-band mean toward the degraded over audible frames
-        audible = _total_audible(Pr, m) > 1e2
-        if audible.sum() >= 2:
-            num = Pd[audible].mean(axis=0) + 1000.0
-            den = Pr[audible].mean(axis=0) + 1000.0
-            Pr = Pr * np.clip(num / den, 0.01, 100.0)[None, :]
-        # short-term gain compensation: smoothed audible-power ratio
-        er = _total_audible(Pr, m) + 5e3
-        ed = _total_audible(Pd, m) + 5e3
-        rate = er / ed
-        h = np.empty(count)
-        prev = rate[0]
-        for i in range(count):
-            prev = 0.8 * prev + 0.2 * rate[i]
-            h[i] = min(max(prev, 3e-4), 5.0)
-        Pd = Pd * h[:, None]
-        Lr, Ld = _loudness(Pr, m), _loudness(Pd, m)
-        d = Ld - Lr
-        dead = 0.25 * np.minimum(np.abs(Ld), np.abs(Lr))
-        d = np.sign(d) * np.maximum(np.abs(d) - dead, 0.0)
-        # asymmetry: added spectral content weighted up
-        asym = ((Pd + 50.0) / (Pr + 50.0)) ** 1.2
-        asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
-        w = m.width[None, :]
-        wsum = m.width.sum()
-        d_f = np.sqrt(np.sum(w * d * d, axis=1) / wsum) * wsum * _D_SCALE
-        da_f = np.sum(w * np.abs(d) * asym, axis=1) * _DA_SCALE
-        # frame weighting by reference audible energy
-        wt = ((_total_audible(Pr, m) + 1e5) / 1e7) ** 0.04
-        d_f = np.minimum(d_f / wt, 45.0)
-        da_f = np.minimum(da_f / wt, 45.0)
-        d_frames.append(d_f)
-        da_frames.append(da_f)
-    if not d_frames:
+    """Whole-file frame-grid disturbance profile -> (D, DA).
+
+    Frames advance by nfft/2 over the full reference extent; each frame's
+    degraded window is offset by the delay of the utterance containing it
+    (assignment by last utterance start <= frame start, the ITU rule)."""
+    hop, nfft = m.hop, m.nfft
+    n = len(ref)
+    F = (n - nfft) // hop + 1
+    if F <= 0 or not utts:
         return None, None
-    d_f = np.concatenate(d_frames)
-    da_f = np.concatenate(da_frames)
-    return _l6_l2(d_f), _l6_l2(da_f)
-
-
-def _l6_l2(df):
-    """L6 over 20-frame 'split-second' intervals every 10 frames, then L2
-    over the interval series (P.862 aggregation)."""
-    if len(df) == 0:
-        return 0.0
-    sup = [np.mean(np.minimum(df[i:i + 20], 45.0) ** 6) ** (1.0 / 6.0)
-           for i in range(0, len(df), 10)]
-    return float(np.sqrt(np.mean(np.square(sup))))
+    starts = hop * np.arange(F, dtype=np.int64)
+    utt_starts = np.array([u[0] for u in utts], dtype=np.int64)
+    utt_delays = np.array([u[2] for u in utts], dtype=np.int64)
+    which = np.clip(np.searchsorted(utt_starts, starts, side="right") - 1,
+                    0, len(utts) - 1)
+    delay = utt_delays[which]
+    # zero padding stands in for the ITU SEARCHBUFFER/DATAPADDING zeros:
+    # out-of-range degraded windows read zeros
+    pad = int(max(nfft + np.abs(delay).max(),
+                  (_SEARCH_RANGE_TRANSFORMS + 1) * nfft))
+    degp = np.concatenate([np.zeros(pad), deg, np.zeros(pad)])
+    Pr = _bark_spectra(np.concatenate([ref, np.zeros(nfft)]), starts, m)
+    Pd = _bark_spectra(degp, starts + delay + pad, m)
+    # silence criterion: audible power (100x threshold) under 1e7
+    silent = _total_audible(Pr, m, 100.0) < 1e7
+    # frequency (transducer) response compensation of the REFERENCE:
+    # per-band averages over non-silent frames of components above
+    # 100x threshold, ratio (avg_deg+1000)/(avg_ref+1000) in [0.01, 100]
+    act = ~silent
+    if act.any():
+        mr = (Pr > 100.0 * m.abs_thresh[None, :]) & act[:, None]
+        md = (Pd > 100.0 * m.abs_thresh[None, :]) & act[:, None]
+        avg_r = np.where(mr, Pr, 0.0).sum(axis=0) / F
+        avg_d = np.where(md, Pd, 0.0).sum(axis=0) / F
+        ratio = np.clip((avg_d + 1000.0) / (avg_r + 1000.0), 0.01, 100.0)
+        Pr = Pr * ratio[None, :]
+    # short-term gain compensation of the DEGRADED: smoothed audible-power
+    # ratio, new-sample weight 0.8, clipped to [3e-4, 5] after smoothing
+    er = _total_audible(Pr, m, 1.0)
+    ed = _total_audible(Pd, m, 1.0)
+    g = (er + 5e3) / (ed + 5e3)
+    scale = np.empty(F)
+    prev = 0.0
+    for f in range(F):
+        s = g[f] if f == 0 else 0.2 * prev + 0.8 * g[f]
+        prev = s
+        scale[f] = min(max(s, 3e-4), 5.0)
+    Pd = Pd * scale[:, None]
+    d_f, da_f = _disturbances(Pr, Pd, m)
+    # frame weighting by the (equalized) reference audible energy
+    h = ((er + 1e5) / 1e7) ** 0.04
+    d_f = np.minimum(d_f / h, 45.0)
+    da_f = np.minimum(da_f / h, 45.0)
+    # --- bad-interval realignment (ITU bad-frame loop) -----------------------
+    bad = d_f > _THRESHOLD_BAD_FRAMES
+    if bad.any() and F >= 3:
+        core = bad.copy()
+        core[1:-1] = bad[1:-1] & bad[:-2] & bad[2:]  # smear: isolated frames out
+        core[0] = bad[0] & bad[1]
+        core[-1] = bad[-1] & bad[-2]
+        if core.any():
+            edges = np.flatnonzero(np.diff(np.concatenate(
+                [[0], core.view(np.int8), [0]])))
+            search = _SEARCH_RANGE_TRANSFORMS * nfft
+            for f0, f1 in zip(edges[::2], edges[1::2]):
+                f0 = max(f0 - _SMEAR_RANGE, 0)
+                f1 = min(f1 + _SMEAR_RANGE, F)
+                s0, s1 = starts[f0], starts[f1 - 1] + nfft
+                d_old = int(delay[f0])
+                seg_ref = ref[s0:s1]
+                lo = s0 + d_old - search + pad
+                hi = s1 + d_old + search + pad
+                lag, _ = _xcorr_argmax(seg_ref, degp[max(lo, 0):hi])
+                new_delay = d_old - search + lag + max(lo, 0) - lo
+                if new_delay == d_old:
+                    continue
+                Pd2 = _bark_spectra(degp, starts[f0:f1] + new_delay + pad, m)
+                Pd2 = Pd2 * scale[f0:f1, None]
+                d2, da2 = _disturbances(Pr[f0:f1], Pd2, m)
+                d2 = np.minimum(d2 / h[f0:f1], 45.0)
+                da2 = np.minimum(da2 / h[f0:f1], 45.0)
+                # per-frame minimum of old/realigned disturbance
+                d_f[f0:f1] = np.minimum(d_f[f0:f1], d2)
+                da_f[f0:f1] = np.minimum(da_f[f0:f1], da2)
+    # --- aggregation ---------------------------------------------------------
+    tw = np.ones(F)
+    if F > 1000:
+        factor = min((F - 1000.0) / 5500.0, 0.5)
+        tw = (1.0 - factor) + factor * np.arange(F) / F
+    return _lpq_weight(d_f, tw), _lpq_weight(da_f, tw)
 
 
 # =============================================================================
@@ -438,19 +511,14 @@ def pesq_p862(ref, deg, fs: int = 16000, mode: str = "wb") -> float:
         return float("nan")
     x = _fix_power_level(x, fs)
     y = _fix_power_level(y, fs)
+    m = _model(fs)
     if mode == "wb":
-        x = _wb_input_filter(x)
-        y = _wb_input_filter(y)
+        x = _wb_input_filter(x, m)
+        y = _wb_input_filter(y, m)
     else:
         x = _nb_input_filter(x, fs)
         y = _nb_input_filter(y, fs)
-    m = _model(fs)
     utts = _align_utterances(x, y, fs)
-    # score only frames whose degraded counterpart exists: shift the window
-    # start up for negative delays and pull the end in when the delay pushes
-    # past the degraded signal (the ITU per-utterance frame-range limits)
-    utts = [(max(r0, -d), min(r1, len(y) - d), d) for (r0, r1, d) in utts]
-    utts = [(r0, r1, d) for (r0, r1, d) in utts if r1 - r0 >= m.nfft]
     D, DA = _perceptual(x, y, utts, m)
     if D is None:
         return float("nan")

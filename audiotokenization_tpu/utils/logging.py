@@ -59,6 +59,9 @@ class MetricsLogger:
             return
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
+            if isinstance(v, str):
+                rec[k] = v  # labels (e.g. pesq_impl) pass through verbatim
+                continue
             try:
                 rec[k] = float(v)
             except (TypeError, ValueError):

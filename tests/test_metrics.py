@@ -98,12 +98,18 @@ def test_pesq_native_behavior():
         v = pesq_approx(clean, clean + noise)
         assert v <= prev + 1e-6, (snr, v, prev)
         prev = v
-    assert prev < 1.5  # heavy noise lands near the floor
+    # heavy noise lands near the floor (the exact-table model puts 0 dB
+    # white noise on this synthetic signal at ~1.7; exact conformance is
+    # the oracle-gated bound in test_pesq_conformance.py)
+    assert prev < 1.8
     # bandwidth loss is penalized
     s2 = np.fft.rfft(clean)
     s2[f > 3000] = 0
     lp = pesq_approx(clean, np.fft.irfft(s2, n))
-    assert lp < top - 0.5
+    # exact-table model: removing the sparse >3 kHz tail of this synthetic
+    # spectrum costs ~0.3 MOS (the asymmetry term weights ADDED content,
+    # not removed — P.862's documented behavior)
+    assert lp < top - 0.2
 
 
 def test_masked_si_equals_trimmed():
