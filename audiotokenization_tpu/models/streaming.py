@@ -474,8 +474,89 @@ class StreamingSynthesizer:
 
 
 # ===========================================================================
-# Streaming causal CONFORMER tokenizer (VERDICT r3 next #4)
+# Streaming causal CONFORMER tokenizer (VERDICT r3 next #4) and
+# synthesizer (VERDICT r4 next #2)
 # ===========================================================================
+
+def _conformer_layer_step(p, x, kv, carry, *, n_head, L_max, min_row,
+                          pos_row, cos, sin, vmask, conv_first):
+    """One causal conformer layer over a frame chunk, incremental.
+
+    x: (B, dim, n); kv: per-layer {"k","v"} caches of L_max rows; carry:
+    (B, dim, k_dw-1) depthwise-conv ring; pos_row: cache row of the chunk's
+    first frame; min_row: rows below this hold no real frame (the
+    tokenizer's latency offset; 0 for the synthesizer); vmask: (B, n) False
+    on warm-up garbage frames (zeroed so the conv ring sees the offline
+    zero padding); conv_first selects the encoder (conv,ffn1,attn,ffn2) vs
+    decoder (attn,ffn1,conv,ffn2) ordering (vq/module.py:496-526).
+    Returns (x, kv, carry).
+    """
+    from ..ops.conv import conv1d, get_weight, linear
+    from ..ops.transformer import rms_norm, apply_rope
+
+    B, C, n = x.shape
+
+    def norm_t(x, w):
+        return jnp.swapaxes(rms_norm(jnp.swapaxes(x, 1, 2), w), 1, 2)
+
+    def conv(x, carry):
+        y = norm_t(x, p["conv_norm"])
+        out = conv1d(y, get_weight(p["conv"]["pw1"]), p["conv"]["pw1"].get("b"))
+        a, b = jnp.split(out, 2, axis=1)
+        out = a * jax.nn.sigmoid(b)
+        # zero garbage frames: the depthwise causal conv must read the
+        # offline left zero padding, not warm-up junk
+        out = out * vmask[:, None, :].astype(out.dtype)
+        dw = get_weight(p["conv"]["dw"])
+        k = dw.shape[-1]
+        window = jnp.concatenate([carry, out], axis=2)
+        new_carry = window[:, :, -(k - 1):]
+        o = conv1d(window, dw, p["conv"]["dw"].get("b"), padding=0,
+                   groups=dw.shape[0])  # (B, C, n) — causal via carry
+        o = norm_t(o, p["conv"]["norm"])
+        o = jax.nn.silu(o)
+        o = conv1d(o, get_weight(p["conv"]["pw2"]), p["conv"]["pw2"].get("b"))
+        return x + o, new_carry
+
+    def attn(x, kv):
+        y = jnp.swapaxes(norm_t(x, p["attn_norm"]), 1, 2)  # (B, n, C)
+        qkv = linear(y, p["attn"]["qkv"]).reshape(B, n, 3, n_head, C // n_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rms_norm(q)
+        k = rms_norm(k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kv = {"k": jax.lax.dynamic_update_slice(kv["k"], k, (0, pos_row, 0, 0)),
+              "v": jax.lax.dynamic_update_slice(kv["v"], v, (0, pos_row, 0, 0))}
+        # causal prefix mask in cache-row space: row r holds frame
+        # r - min_row; query j attends rows [min_row, pos_row + j] —
+        # leading masked rows contribute exact zeros, so the softmax
+        # matches offline key order bit for bit
+        rows = jnp.arange(L_max)
+        qpos_row = pos_row + jnp.arange(n)
+        mask = ((rows[None, :] >= min_row)
+                & (rows[None, :] <= qpos_row[:, None]))  # (n, L)
+        out = jax.nn.dot_product_attention(
+            q, kv["k"], kv["v"], mask=mask[None, None])  # (B, n, H, D)
+        out = linear(out.reshape(B, n, C), p["attn"]["out"])
+        return x + jnp.swapaxes(out, 1, 2), kv
+
+    def ffn(x, fp, w):
+        y = rms_norm(jnp.swapaxes(x, 1, 2), w)
+        from ..ops.transformer import feed_forward
+
+        return x + jnp.swapaxes(feed_forward(y, fp), 1, 2)
+
+    if conv_first:
+        x, carry = conv(x, carry)
+        x = ffn(x, p["ffn1"], p["ffn1_norm"])
+        x, kv = attn(x, kv)
+    else:
+        x, kv = attn(x, kv)
+        x = ffn(x, p["ffn1"], p["ffn1_norm"])
+        x, carry = conv(x, carry)
+    x = ffn(x, p["ffn2"], p["ffn2_norm"])
+    return x, kv, carry
 
 class ConformerStreamState(NamedTuple):
     sample_tail: jnp.ndarray   # (B, T_keep) raw samples before the next chunk
@@ -565,70 +646,10 @@ class StreamingConformerTokenizer:
         """x: (B, dim, n) frames [f0, f0+n); pos_row: cache row of frame f0;
         vmask: (B, n) False on warm-up garbage frames (zeroed so the conv
         ring sees the offline zero padding). Returns (x, kv, carry)."""
-        from ..ops.conv import conv1d, get_weight, linear
-        from ..ops.transformer import rms_norm, apply_rope
-
-        e = self.cfg.model.codec_encoder
-        n_head = e.n_head
-        B, C, n = x.shape
-
-        def norm_t(x, w):
-            return jnp.swapaxes(rms_norm(jnp.swapaxes(x, 1, 2), w), 1, 2)
-
-        def conv(x, carry):
-            y = norm_t(x, p["conv_norm"])
-            out = conv1d(y, get_weight(p["conv"]["pw1"]), p["conv"]["pw1"].get("b"))
-            a, b = jnp.split(out, 2, axis=1)
-            out = a * jax.nn.sigmoid(b)
-            # zero garbage frames: the depthwise causal conv must read the
-            # offline left zero padding, not warm-up junk
-            out = out * vmask[:, None, :].astype(out.dtype)
-            dw = get_weight(p["conv"]["dw"])
-            k = dw.shape[-1]
-            window = jnp.concatenate([carry, out], axis=2)
-            new_carry = window[:, :, -(k - 1):]
-            o = conv1d(window, dw, p["conv"]["dw"].get("b"), padding=0,
-                       groups=dw.shape[0])  # (B, C, n) — causal via carry
-            o = norm_t(o, p["conv"]["norm"])
-            o = jax.nn.silu(o)
-            o = conv1d(o, get_weight(p["conv"]["pw2"]), p["conv"]["pw2"].get("b"))
-            return x + o, new_carry
-
-        def attn(x, kv):
-            y = jnp.swapaxes(norm_t(x, p["attn_norm"]), 1, 2)  # (B, n, C)
-            qkv = linear(y, p["attn"]["qkv"]).reshape(B, n, 3, n_head, C // n_head)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            q = rms_norm(q)
-            k = rms_norm(k)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            kv = {"k": jax.lax.dynamic_update_slice(kv["k"], k, (0, pos_row, 0, 0)),
-                  "v": jax.lax.dynamic_update_slice(kv["v"], v, (0, pos_row, 0, 0))}
-            # causal prefix mask in cache-row space: row r holds frame
-            # r - delay; query j (frame f0 + j) attends rows
-            # [delay, f0 + j + delay] — leading masked rows contribute exact
-            # zeros, so the softmax matches offline key order bit for bit
-            rows = jnp.arange(self.L_max)
-            qpos_row = pos_row + jnp.arange(n)
-            mask = ((rows[None, :] >= self.delay_frames)
-                    & (rows[None, :] <= qpos_row[:, None]))  # (n, L)
-            out = jax.nn.dot_product_attention(
-                q, kv["k"], kv["v"], mask=mask[None, None])  # (B, n, H, D)
-            out = linear(out.reshape(B, n, C), p["attn"]["out"])
-            return x + jnp.swapaxes(out, 1, 2), kv
-
-        def ffn(x, fp, w):
-            y = rms_norm(jnp.swapaxes(x, 1, 2), w)
-            from ..ops.transformer import feed_forward
-
-            return x + jnp.swapaxes(feed_forward(y, fp), 1, 2)
-
-        # conv_first=True ordering (encoder, codec_encoder.py:144-206)
-        x, carry = conv(x, carry)
-        x = ffn(x, p["ffn1"], p["ffn1_norm"])
-        x, kv = attn(x, kv)
-        x = ffn(x, p["ffn2"], p["ffn2_norm"])
-        return x, kv, carry
+        return _conformer_layer_step(
+            p, x, kv, carry, n_head=self.cfg.model.codec_encoder.n_head,
+            L_max=self.L_max, min_row=self.delay_frames, pos_row=pos_row,
+            cos=cos, sin=sin, vmask=vmask, conv_first=True)
 
     def _step_impl(self, params, state: ConformerStreamState, chunk):
         """chunk: (B, S) -> (tokens (Nq, B, S//hop), new state); the tokens
@@ -713,3 +734,154 @@ class StreamingConformerTokenizer:
             return jnp.zeros((nq, B, 0), jnp.int32), state
         zeros = jnp.zeros((B, self.delay_frames * self.hop), jnp.float32)
         return self._flush_step(self.params, state, zeros)
+
+
+class ConformerSynthState(NamedTuple):
+    kv_cache: Any              # per layer {"k","v"} (B, L_max, H, D)
+    conv_carry: Any            # per layer (B, dim, k_dw - 1)
+    ola_tail: jnp.ndarray      # (B, win - hop) overlap-add numerator carry
+    env_tail: jnp.ndarray      # (win - hop,) NOLA window-envelope carry
+    pos: Any = 0               # frames consumed so far (int32 scalar)
+
+
+class StreamingConformerSynthesizer:
+    """Chunk-by-chunk decoder for `causal: true` conformer_istft configs
+    (VERDICT r4 next #2 — the decode-side mirror of
+    StreamingConformerTokenizer).
+
+    The causal decoder backbone (attn, ffn1, conv, ffn2 ordering,
+    vq/codec_decoder.py:385-528) is incremental via the same per-layer KV
+    caches and depthwise-conv rings as the tokenizer; frames map 1:1 to
+    tokens with NO backbone latency. The only lookahead is the ISTFTHead's
+    "same"-padding NOLA overlap-add (codec_decoder.py:145-274): sample s
+    needs every frame whose window covers s + P, P = (win - hop)/2, so the
+    stream runs with a fixed latency of `delay_samples = P` SAMPLES. Each
+    step emits chunk_frames*hop samples covering the span P samples
+    earlier (the leading P emitted samples are warm-up garbage to
+    discard — they correspond to the region offline trims), and `flush()`
+    drains the final P samples with the true end-of-stream envelope.
+
+    Exactness: the step carries BOTH the overlap-add numerator and the
+    window-envelope denominator, so stream start/end envelopes (fewer
+    window^2 contributions) match offline `codec.decode` bit for bit; the
+    division happens only once all contributing frames have been added.
+    Chunked waveform == offline decode to fp32 rounding
+    (test_streaming_conformer.py).
+    """
+
+    def __init__(self, params, cfg: Config, *, chunk_frames: int):
+        d = cfg.model.codec_decoder
+        if d.type != "conformer_istft" or not d.causal:
+            raise ValueError("streaming conformer synthesis requires a "
+                             "causal conformer_istft decoder config")
+        if getattr(d, "ffn_type", "dense") == "moe":
+            raise NotImplementedError(
+                "streaming conformer covers dense-FFN configs; MoE capacity "
+                "routing is batch/chunk-global (ops/moe.py)")
+        if d.n_fft != d.window_size:
+            raise NotImplementedError("streaming assumes n_fft == window_size "
+                                      "(every reference conformer config)")
+        self.params = params
+        self.cfg = cfg
+        self.hop = d.hop_length
+        self.win = d.window_size
+        self.chunk_frames = chunk_frames
+        self.P = (self.win - self.hop) // 2
+        self.delay_samples = self.P
+        self.L_max = d.max_seq_len
+        self._frames_fed = 0
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self, batch_size: int = 1) -> ConformerSynthState:
+        d = self.cfg.model.codec_decoder
+        H, Dh = d.n_head, d.dim // d.n_head
+        kv = [{"k": jnp.zeros((batch_size, self.L_max, H, Dh), jnp.float32),
+               "v": jnp.zeros((batch_size, self.L_max, H, Dh), jnp.float32)}
+              for _ in range(d.n_layers)]
+        carry = [jnp.zeros((batch_size, d.dim, d.conv_kernel_size - 1),
+                           jnp.float32) for _ in range(d.n_layers)]
+        return ConformerSynthState(
+            kv_cache=kv, conv_carry=carry,
+            ola_tail=jnp.zeros((batch_size, self.win - self.hop), jnp.float32),
+            env_tail=jnp.zeros((self.win - self.hop,), jnp.float32),
+            pos=jnp.int32(0))
+
+    def _step_impl(self, params, state: ConformerSynthState, codes):
+        """codes: (Nq, B, n) -> (wav (B, n*hop), new state); the samples
+        cover the span `delay_samples` earlier (fixed latency)."""
+        from ..models import codec as C
+        from ..ops.conv import conv1d, get_weight, linear
+        from ..ops.stft import hann_window
+        from ..ops.transformer import precompute_rope, rms_norm
+
+        cfg = self.cfg
+        d = cfg.model.codec_decoder
+        dec = params["decoder"]
+        n = codes.shape[-1]
+        B = codes.shape[1]
+        hop, win = self.hop, self.win
+        with jax.default_matmul_precision("float32"):
+            emb = C.codes_to_emb(params, cfg, jnp.moveaxis(codes, 0, -1))
+            h = C.apply_fc_post_a(params, cfg, emb)  # (B, C_in, n)
+            if "input_proj" in dec:
+                h = conv1d(h, get_weight(dec["input_proj"]),
+                           dec["input_proj"].get("b"))
+            f0 = state.pos  # absolute frame index of the chunk's first frame
+            cos_t, sin_t = precompute_rope(d.dim // d.n_head,
+                                           self.L_max, d.rope_theta)
+            fpos = f0 + jnp.arange(n)
+            cos_c, sin_c = cos_t[fpos], sin_t[fpos]
+            vmask = jnp.ones((B, n), bool)  # no warm-up frames decode-side
+            kv_new, carry_new = [], []
+            for li in range(d.n_layers):
+                h, kv_l, c_l = _conformer_layer_step(
+                    dec["backbone"]["layers"][li], h, state.kv_cache[li],
+                    state.conv_carry[li], n_head=d.n_head, L_max=self.L_max,
+                    min_row=0, pos_row=f0, cos=cos_c, sin=sin_c,
+                    vmask=vmask, conv_first=False)
+                kv_new.append(kv_l)
+                carry_new.append(c_l)
+            y = rms_norm(jnp.swapaxes(h, 1, 2), dec["norm"])  # (B, n, dim)
+            # ISTFTHead (codec_decoder.py:229-274), streaming overlap-add
+            pred = linear(y, dec["head_out"])  # (B, n, n_fft + 2)
+            mag, phase = jnp.split(pred, 2, axis=2)
+            mag = jnp.minimum(jnp.exp(mag), 1e2)
+            spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))  # (B, n, F)
+            window_fn = hann_window(win)
+            frames = jnp.fft.irfft(spec, n=win, axis=2) * window_fn[None, None, :]
+            from ..ops.stft import _overlap_add
+
+            L = n * hop + (win - hop)
+            buf = _overlap_add(frames.astype(jnp.float32), hop, L)  # (B, L)
+            buf = buf.at[:, :win - hop].add(state.ola_tail)
+            w2 = window_fn * window_fn
+            envb = _overlap_add(jnp.broadcast_to(w2[None, :], (n, win))[None],
+                                hop, L)[0]  # (L,)
+            envb = envb.at[:win - hop].add(state.env_tail)
+            # positions [0, n*hop) now have every contributing frame
+            wav = buf[:, :n * hop] / jnp.maximum(envb[:n * hop],
+                                                 jnp.finfo(jnp.float32).tiny)
+        new_state = ConformerSynthState(
+            kv_cache=kv_new, conv_carry=carry_new,
+            ola_tail=buf[:, n * hop:], env_tail=envb[n * hop:],
+            pos=state.pos + n)
+        return wav, new_state
+
+    def step(self, state: ConformerSynthState, codes):
+        self._frames_fed += codes.shape[-1]
+        if self._frames_fed > self.L_max:
+            raise ValueError(
+                f"stream exceeds max_seq_len={self.L_max} frames (the "
+                "offline RoPE/attention bound); restart with init_state or "
+                "raise codec_decoder.max_seq_len")
+        return self._step(self.params, state, codes)
+
+    def flush(self, state: ConformerSynthState):
+        """Drain the `delay_samples` samples still inside the latency
+        window: the stream has ended at state.pos frames, so the carried
+        envelope is final (it is exactly the offline end-of-signal NOLA
+        envelope). Returns (wav (B, delay_samples), new_state)."""
+        wav = (state.ola_tail[:, :self.P]
+               / jnp.maximum(state.env_tail[None, :self.P],
+                             jnp.finfo(jnp.float32).tiny))
+        return wav, state

@@ -29,14 +29,23 @@ def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False,
 
     init_state: optional (h0, c0) each (B, H) for streaming continuation;
     return_state=True additionally returns the final (h, c).
-    valid: optional (T,) bool — timesteps marked invalid pass the state
-    through UNCHANGED and emit zeros, exactly as if they were never fed
-    (the streaming warm-up window's pre-stream frames).
+    valid: optional (T,) or per-sample (B, T) bool — timesteps marked
+    invalid pass the state through UNCHANGED and emit zeros, exactly as if
+    they were never fed. Uses: the streaming warm-up window's pre-stream
+    frames ((T,) form), and ragged zero-padded batches ((B, T) form —
+    with reverse=True each sample's backward scan effectively starts at
+    its own last valid frame with the zero init state, making the batched
+    bidirectional pass equal per-file processing).
     """
     hdim = w_hh.shape[1]
     B = x.shape[0]
     pre = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
     pre = jnp.swapaxes(pre, 0, 1)  # (T, B, 4H) scan over leading axis
+    if valid is not None:
+        # normalize to (T, B) so the scan step sees a per-sample (B,) slice
+        valid_tb = jnp.swapaxes(
+            jnp.broadcast_to(valid, (B, valid.shape[-1])
+                             if valid.ndim == 1 else valid.shape), 0, 1)
 
     def step(carry, pv):
         h, c = carry
@@ -47,13 +56,13 @@ def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False,
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         if valid is None:
             return (h_new, c_new), h_new
-        v = pv[1]
+        v = pv[1][:, None]  # (B, 1)
         return ((jnp.where(v, h_new, h), jnp.where(v, c_new, c)),
                 jnp.where(v, h_new, jnp.zeros_like(h_new)))
 
     init = init_state if init_state is not None else (
         jnp.zeros((B, hdim), x.dtype), jnp.zeros((B, hdim), x.dtype))
-    xs = pre if valid is None else (pre, valid)
+    xs = pre if valid is None else (pre, valid_tb)
     final, hs = jax.lax.scan(step, init, xs, reverse=reverse)
     out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
     if return_state:
@@ -61,20 +70,26 @@ def _lstm_layer(x, w_ih, w_hh, b_ih, b_hh, *, reverse: bool = False,
     return out
 
 
-def lstm(x, params, *, num_layers: int, bidirectional: bool = False):
+def lstm(x, params, *, num_layers: int, bidirectional: bool = False,
+         valid=None):
     """torch.nn.LSTM(batch_first=True) equivalent. x: (B, T, in) -> (B, T, H_out).
 
     params: list of per-layer dicts with keys w_ih/w_hh/b_ih/b_hh and, when
     bidirectional, w_ih_r/w_hh_r/b_ih_r/b_hh_r (the `_reverse` suffixed torch
     params). H_out = H (uni) or 2H (bi, fwd/bwd concatenated like torch).
+    valid: optional per-sample (B, T) bool for ragged zero-padded batches —
+    invalid steps neither update state nor emit (see _lstm_layer); with
+    bidirectional=True this makes each sample's REVERSED scan start at its
+    own true end, equal to per-file processing.
     """
     out = x
     for l in range(num_layers):
         p = params[l] if isinstance(params, (list, tuple)) else params[str(l)]
-        fwd = _lstm_layer(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
+        fwd = _lstm_layer(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
+                          valid=valid)
         if bidirectional:
             bwd = _lstm_layer(out, p["w_ih_r"], p["w_hh_r"], p["b_ih_r"], p["b_hh_r"],
-                              reverse=True)
+                              reverse=True, valid=valid)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd
@@ -82,12 +97,17 @@ def lstm(x, params, *, num_layers: int, bidirectional: bool = False):
 
 
 def res_lstm(x, params, *, num_layers: int = 2, bidirectional: bool = False,
-             skip: bool = True):
-    """ResLSTM (vq/module.py:143-167). x: (B, F, T) -> (B, F, T) with residual skip."""
+             skip: bool = True, valid=None):
+    """ResLSTM (vq/module.py:143-167). x: (B, F, T) -> (B, F, T) with residual skip.
+
+    valid: optional per-sample (B, T) frame mask (ragged batches)."""
     xt = jnp.swapaxes(x, 1, 2)  # (B, T, F)
-    y = lstm(xt, params, num_layers=num_layers, bidirectional=bidirectional)
+    y = lstm(xt, params, num_layers=num_layers, bidirectional=bidirectional,
+             valid=valid)
     if skip:
         y = y + xt
+        if valid is not None:
+            y = y * valid[:, :, None].astype(y.dtype)
     return jnp.swapaxes(y, 1, 2)
 
 

@@ -495,9 +495,10 @@ def run_test(cfg: Config, gen_params, test_loader, *, teacher_params=None,
     try:
         ragged = make_ragged_codec(cfg)
     except NotImplementedError as exc:
-        # bidirectional-RNN bigcodec configs have no exact ragged path;
-        # surface an explicit marker instead of crashing the END of a long
-        # training run (use cli/inference_full --batch_size 1 instead)
+        # families without an exact ragged path (conformer MoE: capacity
+        # routing is batch-global by construction); surface an explicit
+        # marker instead of crashing the END of a long training run (use
+        # cli/inference_full --batch_size 1 / --exact instead)
         print(f"[test] ragged full-length path unavailable ({exc}); skipping "
               "the test phase")
         return {"test_skipped_ragged_unavailable": 1.0}

@@ -14,9 +14,11 @@ the batched computation identical to processing each (hop-padded) file
 alone — tokens byte-exact, waveforms to fp32 rounding — asserted in
 tests/test_ragged_batch.py.
 
-Exactness coverage: bigcodec encoder/decoder with unidirectional (or no)
-RNN (a bidirectional RNN reads the zero tail, so that one family stays
-per-file), AND the conformer family (conformer_stft / conformer_istft):
+Exactness coverage: EVERY config family. Bigcodec encoder/decoder with
+any RNN layout — including bidirectional (r5): the ResLSTM takes a
+per-sample (B, T) valid mask so each sample's reversed scan starts at its
+own last valid frame with the zero init state (ops/lstm.py) — AND the
+conformer family (conformer_stft / conformer_istft):
 attention gets per-sample key masks, the conv module a pre-depthwise edge
 zeroing (ops/transformer.py valid=...), the STFT front is exact unmasked
 (its constant pad is zero, same as the batch's zero tail), and the ISTFT
@@ -58,9 +60,10 @@ def _check_exactness(part, name: str):
         return  # exact masked path: _conformer_encode/decode_masked
     if part.type != "bigcodec":
         raise NotImplementedError(f"no ragged path for {name} type {part.type}")
-    if part.use_rnn and part.rnn_bidirectional:
-        raise NotImplementedError("bidirectional RNN reads the zero tail; "
-                                  "ragged batching would not be exact")
+    # bidirectional RNN configs are exact too (r5): the ResLSTM gets a
+    # per-sample (B, T) valid mask, so each sample's reversed scan starts
+    # at its own last valid frame with the zero init state (ops/lstm.py
+    # _lstm_layer valid=...)
 
 
 def _replicate_tail(x, bound):
@@ -171,12 +174,19 @@ def _aa_factory(part, lengths):
     return lambda S: _MaskedAA(part.antialias, lengths // S)
 
 
+def _frame_valid(frames, T):
+    """(B,) frame counts -> (B, T) bool mask."""
+    return jnp.arange(T)[None, :] < frames[:, None]
+
+
 def _finish_masked(enc_p, e, lat, lengths, hop):
     """LSTM + encoder tail over conv-front latents, with the tail-frame mask."""
     if e.use_rnn:
         from ..ops.lstm import res_lstm
 
-        lat = res_lstm(lat, enc_p["lstm"], num_layers=e.rnn_num_layers)
+        lat = res_lstm(lat, enc_p["lstm"], num_layers=e.rnn_num_layers,
+                       bidirectional=e.rnn_bidirectional,
+                       valid=_frame_valid(lengths // hop, lat.shape[-1]))
     # zero the tail frames the tail conv would otherwise read
     lat = _edge_mask(lat, 0, 1, lengths // hop)
     aa = _MaskedAA(e.antialias, lengths // hop)
@@ -233,7 +243,9 @@ def _decode_masked_bigcodec(dec, d, z, frames):
     if d.use_rnn:
         from ..ops.lstm import res_lstm
 
-        x = res_lstm(x, dec["lstm"], num_layers=d.rnn_num_layers)
+        x = res_lstm(x, dec["lstm"], num_layers=d.rnn_num_layers,
+                     bidirectional=d.rnn_bidirectional,
+                     valid=_frame_valid(frames, x.shape[-1]))
         x = _edge_mask(x, 0, 1, frames)
     S = 1
     for i, stride in enumerate(tuple(d.up_ratios)):

@@ -151,6 +151,38 @@ def bench_streaming(results, *, quick=False):
         print(f"streaming CONFORMER tokenize chunk={chunk_ms}ms: "
               f"RTF {rtf:7.2f}x realtime (latency {tok.delay_frames} frames)")
 
+    # streaming CAUSAL CONFORMER synthesizer: codes -> wav through the
+    # KV-cache decoder backbone + carried-NOLA ISTFT head
+    from audiotokenization_tpu.models.streaming import (
+        StreamingConformerSynthesizer)
+
+    for chunk_frames in ((8,) if quick else (8, 25)):
+        syn = StreamingConformerSynthesizer(params_c, cfg_c,
+                                            chunk_frames=chunk_frames)
+        sstate = syn.init_state(batch_size=1)
+        rng = np.random.RandomState(3)
+        cbs = cfg_c.model.codec_decoder.codebook_size
+        code_chunks = [jnp.asarray(rng.randint(0, cbs, (1, 1, chunk_frames)),
+                                   dtype=jnp.int32) for _ in range(8)]
+        st = sstate
+        for c in code_chunks[:2]:
+            wav, st = syn.step(st, c)
+        np.asarray(wav)
+        N = 25 if quick else 50
+        st = sstate
+        t0 = time.perf_counter()
+        for i in range(N):
+            wav, st = syn.step(st, code_chunks[i % len(code_chunks)])
+        np.asarray(wav)
+        dt = time.perf_counter() - t0
+        rtf = (N * chunk_frames * hop_c / sr) / dt
+        results[f"streaming_conformer_synthesize_chunk{chunk_frames}f"] = {
+            "rtf": round(rtf, 2), "delay_ms": round(
+                syn.delay_samples * 1000 / sr, 1)}
+        print(f"streaming CONFORMER synthesize chunk={chunk_frames} frames "
+              f"({chunk_frames*hop_c*1000//sr} ms): RTF {rtf:7.2f}x realtime "
+              f"(algorithmic latency {syn.delay_samples*1000/sr:.1f} ms)")
+
     # synthesizer: codes -> wav, chunk_frames at 80 fps
     for chunk_frames in ((8,) if quick else (8, 25)):
         syn = StreamingSynthesizer(params, cfg, chunk_frames=chunk_frames)

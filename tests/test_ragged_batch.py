@@ -226,3 +226,43 @@ def test_ragged_codec_concat_semantic_matches_per_file():
         np.testing.assert_allclose(recon[i, :len(w)],
                                    np.asarray(out.gen_wav)[0, 0],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ragged_bidirectional_rnn_exact():
+    """r5 (VERDICT r4 stretch #10): bidirectional-RNN bigcodec configs are
+    exact under ragged batching — the per-sample (B, T) valid mask makes
+    each sample's REVERSED LSTM scan start at its own last valid frame with
+    the zero init state (ops/lstm._lstm_layer valid=...), so the backward
+    pass never reads the zero tail."""
+    from audiotokenization_tpu.utils.ragged import make_ragged_codec
+
+    cfg = tiny_config()
+    cfg.model.codec_encoder.rnn_bidirectional = True
+    cfg.model.codec_decoder.rnn_bidirectional = True
+    params = C.init_codec(jax.random.key(7), cfg)
+    rng = np.random.RandomState(7)
+    lengths = [730, 400, 1000, 90]
+    wavs = [(rng.randn(T) * 0.1).astype(np.float32) for T in lengths]
+    L = 1000
+    batch = np.zeros((4, L), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+    # tokens byte-exact
+    tok = make_ragged_tokenizer(cfg)
+    codes = np.asarray(tok(params, jnp.asarray(batch),
+                           jnp.asarray(lengths, jnp.int32)))
+    for i, w in enumerate(wavs):
+        single = np.asarray(C.tokenize(params, cfg, jnp.asarray(w)[None]))[:, 0]
+        np.testing.assert_array_equal(codes[:, i, :len(w) // 10], single)
+    # full round trip (decoder-side bidir LSTM) to fp32 rounding
+    codec = make_ragged_codec(cfg)
+    recon, codes2 = codec(params, jnp.asarray(batch),
+                          jnp.asarray(lengths, jnp.int32))
+    recon = np.asarray(recon)
+    np.testing.assert_array_equal(np.asarray(codes2), codes)
+    for i, w in enumerate(wavs):
+        out = C.forward(params, cfg, {"wav": jnp.asarray(w)[None]},
+                        training=False)
+        single = np.asarray(out.gen_wav)[0, 0]
+        np.testing.assert_allclose(recon[i, :len(w)], single,
+                                   atol=2e-5, rtol=1e-4)

@@ -72,3 +72,88 @@ def test_streaming_conformer_rejects_noncausal():
     params = C.init_codec(jax.random.key(2), cfg)
     with pytest.raises(ValueError, match="causal"):
         StreamingConformerTokenizer(params, cfg, chunk_samples=HOP)
+
+
+# ---------------------------------------------------------------------------
+# Streaming conformer SYNTHESIZER (VERDICT r4 next #2)
+# ---------------------------------------------------------------------------
+
+from audiotokenization_tpu.models.streaming import StreamingConformerSynthesizer
+
+
+def _offline_decode(params, cfg, codes):
+    """codes (Nq, B, T) -> offline waveform (B, T*hop) via the stock path."""
+    emb = C.codes_to_emb(params, cfg, jnp.moveaxis(jnp.asarray(codes), 0, -1))
+    emb = C.apply_fc_post_a(params, cfg, emb)
+    return np.asarray(C.decode(params, cfg, emb))[:, 0]
+
+
+def _stream_wav(syn, codes, chunk_frames):
+    state = syn.init_state(batch_size=codes.shape[1])
+    outs = []
+    for s in range(0, codes.shape[-1], chunk_frames):
+        wav, state = syn.step(state, jnp.asarray(codes[:, :, s:s + chunk_frames]))
+        outs.append(np.asarray(wav))
+    tail, state = syn.flush(state)
+    outs.append(np.asarray(tail))
+    full = np.concatenate(outs, axis=1)
+    # leading delay_samples are warm-up garbage (the offline-trimmed region)
+    return full[:, syn.delay_samples:]
+
+
+@pytest.mark.parametrize("chunk_frames", [2, 5])
+def test_streaming_conformer_synth_exact(chunk_frames):
+    cfg = causal_conformer_config()
+    params = C.init_codec(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    n_frames = 20
+    codes = rng.randint(0, cfg.model.codec_decoder.codebook_size,
+                        size=(1, 1, n_frames)).astype(np.int32)
+    ref = _offline_decode(params, cfg, codes)
+
+    syn = StreamingConformerSynthesizer(params, cfg, chunk_frames=chunk_frames)
+    assert syn.delay_samples == (cfg.model.codec_decoder.window_size
+                                 - cfg.model.codec_decoder.hop_length) // 2
+    got = _stream_wav(syn, codes, chunk_frames)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(ref, got, atol=2e-6, rtol=1e-5)
+
+
+def test_streaming_conformer_synth_single_frame_chunks():
+    cfg = causal_conformer_config(n_layers=1)
+    cfg.model.codec_decoder.n_layers = 1
+    params = C.init_codec(jax.random.key(4), cfg)
+    rng = np.random.RandomState(4)
+    codes = rng.randint(0, cfg.model.codec_decoder.codebook_size,
+                        size=(1, 1, 9)).astype(np.int32)
+    ref = _offline_decode(params, cfg, codes)
+    syn = StreamingConformerSynthesizer(params, cfg, chunk_frames=1)
+    got = _stream_wav(syn, codes, 1)
+    np.testing.assert_allclose(ref, got, atol=2e-6, rtol=1e-5)
+
+
+def test_streaming_conformer_roundtrip_stream_in_stream_out():
+    """Full streaming serving loop: tokenize chunks in, synthesize chunks
+    out; the waveform must equal offline tokenize->decode."""
+    cfg = causal_conformer_config()
+    params = C.init_codec(jax.random.key(5), cfg)
+    rng = np.random.RandomState(5)
+    n_frames = 16
+    wav = (rng.randn(HOP * n_frames) * 0.1).astype(np.float32)
+    # offline reference
+    ref_codes = np.asarray(C.tokenize(params, cfg, jnp.asarray(wav)[None]))
+    ref_wav = _offline_decode(params, cfg, ref_codes)
+    # streamed
+    tok = StreamingConformerTokenizer(params, cfg, chunk_samples=4 * HOP)
+    got_codes = _stream_tokens(tok, wav, 4 * HOP)[None]  # (Nq=1? ...)
+    np.testing.assert_array_equal(ref_codes[:, 0], got_codes[0])
+    syn = StreamingConformerSynthesizer(params, cfg, chunk_frames=4)
+    got_wav = _stream_wav(syn, ref_codes, 4)
+    np.testing.assert_allclose(ref_wav, got_wav, atol=2e-6, rtol=1e-5)
+
+
+def test_streaming_conformer_synth_rejects_noncausal():
+    cfg = conformer_tiny_config()
+    params = C.init_codec(jax.random.key(6), cfg)
+    with pytest.raises(ValueError, match="causal"):
+        StreamingConformerSynthesizer(params, cfg, chunk_frames=2)
