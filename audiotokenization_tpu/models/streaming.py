@@ -767,6 +767,11 @@ class StreamingConformerSynthesizer:
     division happens only once all contributing frames have been added.
     Chunked waveform == offline decode to fp32 rounding
     (test_streaming_conformer.py).
+
+    When chaining from StreamingConformerTokenizer, DROP its leading
+    `delay_frames` warm-up tokens before feeding them here: this decoder
+    is causal, so garbage frames would pollute the KV caches and conv
+    rings for every later frame (see examples/streaming_demo.py).
     """
 
     def __init__(self, params, cfg: Config, *, chunk_frames: int):

@@ -69,6 +69,64 @@ def main():
     print(f"stream vs offline waveform maxdiff: "
           f"{np.abs(streamed - offline).max():.2e}")
 
+    # --- the causal CONFORMER pair: stream in AND stream out (r5) --------
+    from audiotokenization_tpu.models.streaming import (
+        StreamingConformerSynthesizer, StreamingConformerTokenizer)
+
+    cfg2 = Config()
+    for part in (cfg2.model.codec_encoder, cfg2.model.codec_decoder):
+        part.type = ("conformer_stft" if part is cfg2.model.codec_encoder
+                     else "conformer_istft")
+        part.hop_length, part.n_fft, part.window_size = 40, 160, 160
+        part.dim, part.n_layers, part.n_head = 32, 2, 2
+        part.causal = True
+    cfg2.model.codec_encoder.out_channels = 32
+    cfg2.model.codec_decoder.in_channels = 32
+    cfg2.model.codec_decoder.codebook_size = 256
+    cfg2.model.codec_decoder.codebook_dim = 8
+    params2 = C.init_codec(jax.random.key(1), cfg2)
+    ctok = StreamingConformerTokenizer(params2, cfg2, chunk_samples=4 * 40)
+    csyn = StreamingConformerSynthesizer(params2, cfg2, chunk_frames=4)
+    ct, cs = ctok.init_state(1), csyn.init_state(1)
+    # IMPORTANT serving detail: the tokenizer's leading delay_frames tokens
+    # are warm-up garbage and must be DROPPED before synthesis — the
+    # synthesizer is causal, so feeding them would pollute its KV/conv
+    # state for every later frame. A tiny token buffer does the stripping.
+    wav_pieces, buf = [], []
+    to_drop = ctok.delay_frames
+    sig = speech_like[:40 * 32]
+
+    def push(codes, cs):
+        nonlocal to_drop
+        codes = np.asarray(codes)
+        if to_drop:
+            d = min(to_drop, codes.shape[-1])
+            codes = codes[:, :, d:]
+            to_drop -= d
+        if codes.shape[-1]:
+            wav_out, cs = csyn.step(cs, jnp.asarray(codes))
+            wav_pieces.append(np.asarray(wav_out))
+        return cs
+
+    for start in range(0, len(sig), 4 * 40):
+        codes, ct = ctok.step(ct, jnp.asarray(sig[start:start + 4 * 40])[None])
+        cs = push(codes, cs)
+    tail_codes, ct = ctok.flush(ct)
+    cs = push(tail_codes, cs)
+    tail_wav, cs = csyn.flush(cs)
+    wav_pieces.append(np.asarray(tail_wav))
+    streamed2 = np.concatenate(wav_pieces, axis=1)
+    # discard only the synthesizer's own latency now
+    skip = csyn.delay_samples
+    offline_codes2 = C.tokenize(params2, cfg2, jnp.asarray(sig)[None])
+    emb2 = C.codes_to_emb(params2, cfg2, jnp.moveaxis(offline_codes2, 0, -1))
+    offline2 = np.asarray(C.decode(params2, cfg2, emb2))[:, 0]
+    got2 = streamed2[:, skip:skip + offline2.shape[1]]
+    print(f"conformer stream-in/stream-out vs offline maxdiff: "
+          f"{np.abs(got2 - offline2).max():.2e} "
+          f"(latency {ctok.delay_frames} frames in, "
+          f"{csyn.delay_samples} samples out)")
+
 
 if __name__ == "__main__":
     main()

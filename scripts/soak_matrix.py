@@ -91,6 +91,7 @@ def run_one(tag, config, steps, overrides=()):
         "gen_first": round(first["gen_loss"], 2),
         "gen_last": round(last["gen_loss"], 2),
         "steps_per_sec_last": round(last.get("steps_per_sec", 0.0), 3),
+        "val_si_snr_first": round(val[0]["val_si_snr"], 2) if val else None,
         "val_si_snr_last": round(val[-1]["val_si_snr"], 2) if val else None,
         "val_count": len(val),
         "test_keys": sorted(k for k in (test[-1] if test else {}) if k.startswith("test_")),
@@ -99,12 +100,20 @@ def run_one(tag, config, steps, overrides=()):
         "ckpt_exists": (run_dir / "ckpt").exists(),
         "run_dir": str(run_dir),
     }
-    # health criterion: the RECONSTRUCTION objective (mel) must decrease and
-    # nothing may have gone non-finite; the total gen loss is NOT monotone
-    # at few-hundred-step horizons (the adversarial/vq terms shift as the
-    # disc strengthens), so it is recorded but not gated on
-    ok = (res["mel_last"] < res["mel_first"]
-          and n_skip == 0 and res["val_count"] >= 1 and res["sanity_val_ok"])
+    # health criteria (r5 tightened per VERDICT r4 #4): mel decreasing AND
+    # nothing non-finite AND — at the >=1000-step horizons every leg now
+    # runs — val si_snr must be positive OR clearly climbing (>= +5 dB
+    # first-val -> last-val); mel-only gates proved too weak exactly where
+    # horizons were shortest. The total gen loss is recorded, not gated
+    # (the adversarial/vq terms shift as the disc strengthens).
+    si_ok = True
+    if res["val_si_snr_last"] is not None:
+        si_ok = (res["val_si_snr_last"] > 0
+                 or (res["val_si_snr_first"] is not None
+                     and res["val_si_snr_last"] - res["val_si_snr_first"] >= 5))
+    res["si_snr_healthy"] = bool(si_ok)
+    ok = (res["mel_last"] < res["mel_first"] and n_skip == 0
+          and res["val_count"] >= 1 and res["sanity_val_ok"] and si_ok)
     res["ok"] = bool(ok)
     print(json.dumps(res), flush=True)
     return res
@@ -205,18 +214,22 @@ def main():
     enable_compile_cache()
     build_corpus()
     results = []
+    # r5 (VERDICT r4 #4/#5): EVERY family at >= 1000 steps — no family's
+    # only evidence is a 300-step run any more — plus the first on-device
+    # MoE leg (configs/conformer_moe.yaml through the stock CLI)
     matrix = [
+        # MoE first: the newest on-device surface fails fast if it fails
+        ("conformer_moe", "configs/conformer_moe.yaml", 1000, ()),
         ("flagship", "configs/bigcodec.yaml", 3000, ()),  # the long bf16 leg
-        ("conformer", "configs/conformer.yaml", 300, ()),
-        ("ema_vq", "configs/bigcodec.yaml", 300,
+        ("conformer", "configs/conformer.yaml", 1500, ()),
+        ("ema_vq", "configs/bigcodec.yaml", 1000,
          ("model.codec_decoder.quantizer=ema_vq",
           "model.codec_decoder.codebook_size=8192")),
-        ("fsq", "configs/bigcodec_fsq.yaml", 300, ()),
-        # r4: 1000-step causal leg (r3's 300-step run left the rising-adv
-        # question open — VERDICT r3 weak #3)
+        ("fsq", "configs/bigcodec_fsq.yaml", 1000, ()),
         ("causal", "configs/bigcodec_causal.yaml", 1000, ()),
-        # r4: the cfgs/config11 mirror (antialias Activation1d everywhere)
-        ("antialias", "configs/bigcodec_antialias.yaml", 300, ()),
+        # the cfgs/config11 mirror (antialias Activation1d everywhere);
+        # r4's 300-step leg showed the rising-gen signature — settle it
+        ("antialias", "configs/bigcodec_antialias.yaml", 1000, ()),
     ]
     for tag, config, steps, ov in matrix:
         try:
@@ -244,12 +257,13 @@ def main():
     out = {"results": results, "flagship_post": post,
            "resume_determinism": resume}
     (WORK / "summary.json").write_text(json.dumps(out, indent=2))
-    print("\n| config | steps | mel first→last | gen first→last | steps/s | val si_snr | skips | ok |")
+    print("\n| config | steps | mel first→last | gen first→last | steps/s | val si_snr first→last | skips | ok |")
     print("|---|---|---|---|---|---|---|---|")
     for r in results:
         print(f"| {r['tag']} | {r['steps']} | {r['mel_first']}→{r['mel_last']} "
               f"| {r['gen_first']}→{r['gen_last']} | {r['steps_per_sec_last']} "
-              f"| {r['val_si_snr_last']} | {r['nonfinite_skipped']} "
+              f"| {r.get('val_si_snr_first')}→{r['val_si_snr_last']} "
+              f"| {r['nonfinite_skipped']} "
               f"| {'PASS' if r['ok'] else 'FAIL'} |")
     print("flagship post:", json.dumps(post))
     print("resume determinism:", json.dumps(resume))
