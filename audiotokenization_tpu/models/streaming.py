@@ -32,7 +32,7 @@ Exactness is proven by test_streaming.py: chunked emission equals offline
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -41,7 +41,6 @@ import jax.numpy as jnp
 from ..config import Config
 from .bigcodec import _AA, _wn_conv, encoder_block
 from ..ops.lstm import res_lstm_streaming
-from ..ops import snake as SN
 
 _NO_END = 2 ** 28  # mid-stream sentinel bound: "the right edge is not here yet"
 

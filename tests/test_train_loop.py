@@ -457,3 +457,22 @@ def test_finalize_validation_vector_length_is_process_independent():
         L.reduce_validation_aggregates = orig
     assert lengths[0] == lengths[1]
     assert "val_codebook_perplexity" in res
+
+
+def test_finalize_validation_labels_pesq_impl():
+    """Every emitted val_pesq comes with val_pesq_impl (VERDICT r4 weak #5:
+    native-P.862 MOS and ITU-package MOS are different calibrations and must
+    never appear unlabeled); no label when no pesq values were produced."""
+    import audiotokenization_tpu.train.loop as L
+    from audiotokenization_tpu.train.metrics import pesq_impl
+
+    K = 8
+    keys = ["pesq", "quality_items", "semantic_recon_loss", "si_sdr", "si_snr",
+            "stoi"]
+    full = {k: [1.0] for k in keys}
+    res = L._finalize_validation(full, np.ones(K, np.int64), K)
+    assert res["val_pesq_impl"] == pesq_impl()
+    assert res["val_pesq_impl"] in ("native_p862", "itu_package")
+    empty = {**full, "pesq": []}
+    res2 = L._finalize_validation(empty, np.ones(K, np.int64), K)
+    assert "val_pesq_impl" not in res2 and "val_pesq" not in res2
