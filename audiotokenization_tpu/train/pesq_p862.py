@@ -417,9 +417,10 @@ def _perceptual(ref, deg, utts, m: _Model):
                     0, len(utts) - 1)
     delay = utt_delays[which]
     # zero padding stands in for the ITU SEARCHBUFFER/DATAPADDING zeros:
-    # out-of-range degraded windows read zeros
-    pad = int(max(nfft + np.abs(delay).max(),
-                  (_SEARCH_RANGE_TRANSFORMS + 1) * nfft))
+    # out-of-range degraded windows read zeros. Must cover the ordinary
+    # per-utterance delays AND the bad-interval realignment's extra
+    # +-SEARCH_RANGE_TRANSFORMS*nfft delay excursion on top of them.
+    pad = int((_SEARCH_RANGE_TRANSFORMS + 1) * nfft + np.abs(delay).max())
     degp = np.concatenate([np.zeros(pad), deg, np.zeros(pad)])
     Pr = _bark_spectra(np.concatenate([ref, np.zeros(nfft)]), starts, m)
     Pd = _bark_spectra(degp, starts + delay + pad, m)

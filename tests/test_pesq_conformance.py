@@ -182,3 +182,21 @@ def test_pesq_8k_narrowband():
         noise *= np.linalg.norm(ref) / np.linalg.norm(noise) / (10 ** (snr / 20))
         vals.append(pesq_p862(ref, ref + noise, fs, mode="nb"))
     assert all(a > b for a, b in zip(vals, vals[1:])), vals
+
+
+def test_pesq_bad_interval_realignment_with_large_delay():
+    """Drive the bad-frame (>30 disturbance) realignment loop: a large
+    global delay plus a corrupted mid-stream section. The realignment's
+    delay excursion reads up to SEARCH_RANGE_TRANSFORMS*nfft past the
+    ordinary windows — the zero padding must cover it (regression for the
+    r5 pad-arithmetic fix). Score must stay finite and below the clean
+    delayed score."""
+    pad = np.zeros(8000, np.float32)
+    ref = np.concatenate([pad, _speechish(), pad])
+    deg = np.roll(ref, 6000).copy()
+    a, b = 20000, 24000  # loud noise burst -> frame disturbances > 30
+    deg[a:b] = 3.0 * np.random.RandomState(9).randn(b - a).astype(np.float32)
+    clean_delayed = pesq_p862(ref, np.roll(ref, 6000), FS)
+    corrupted = pesq_p862(ref, deg, FS)
+    assert np.isfinite(corrupted)
+    assert corrupted < clean_delayed - 0.2
