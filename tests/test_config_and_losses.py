@@ -9,6 +9,10 @@ import jax.numpy as jnp
 from audiotokenization_tpu import convert as CV
 from audiotokenization_tpu.config import Config, load_config, save_config
 from audiotokenization_tpu.losses.stft_loss import multi_resolution_stft_loss
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_reference_hydra_config_mapping(tmp_path):

@@ -10,6 +10,9 @@ import pytest
 
 from audiotokenization_tpu.ops import fbank as F
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 
 def _hf_extractor():
     from transformers.models.seamless_m4t.feature_extraction_seamless_m4t import (

@@ -11,6 +11,10 @@ from audiotokenization_tpu.models.bigcodec import (bigcodec_decode,
                                                    bigcodec_encode,
                                                    init_bigcodec_decoder,
                                                    init_bigcodec_encoder)
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_encoder_decoder_init_activation_scale():

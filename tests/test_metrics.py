@@ -3,6 +3,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from audiotokenization_tpu.train import metrics as M
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def _si_sdr_numpy(est, target, zero_mean):

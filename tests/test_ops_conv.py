@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from audiotokenization_tpu.ops import conv as C
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 RTOL, ATOL = 1e-5, 1e-5
 
 

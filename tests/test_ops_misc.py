@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from audiotokenization_tpu.ops import snake as S
 from audiotokenization_tpu.ops import lstm as L
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_snake_beta_logscale():

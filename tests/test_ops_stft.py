@@ -4,6 +4,10 @@ import torch
 import jax.numpy as jnp
 
 from audiotokenization_tpu.ops import stft as S
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_hann_window_matches_torch():

@@ -4,6 +4,10 @@ import jax.numpy as jnp
 
 from audiotokenization_tpu.models.quantizers.factorized_vq import nearest_code_indices
 from audiotokenization_tpu.ops.pallas.vq_kernel import vq_argmin
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_vq_argmin_matches_oracle():

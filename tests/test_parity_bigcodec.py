@@ -16,6 +16,9 @@ from audiotokenization_tpu import convert as CV
 from audiotokenization_tpu.models import bigcodec as BC
 from audiotokenization_tpu.models.quantizers import factorized_vq as FQ
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 NGF, OUT, IN_CH, UP_CH = 8, 64, 64, 96
 T = 2000
 

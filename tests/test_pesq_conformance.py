@@ -25,6 +25,9 @@ import pytest
 from audiotokenization_tpu.train.metrics import pesq_metric
 from audiotokenization_tpu.train.pesq_p862 import pesq_p862
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 try:
     import pesq as _pesq_pkg  # noqa: F401
 

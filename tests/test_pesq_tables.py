@@ -8,6 +8,10 @@ satisfy — a wrong or shuffled entry breaks at least one of them.
 import numpy as np
 
 from audiotokenization_tpu.train import pesq_tables as T
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_band_counts_and_fft_sizes():

@@ -15,6 +15,9 @@ from audiotokenization_tpu.models.quantizers.misc import (
     grouped_quantize, init_random_projection_quantizer, init_sim_vq,
     random_projection_quantize, residual_quantize, sim_vq_apply)
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 
 def test_fsq_parity_vs_reference():
     fsq_mod = load_reference_module(

@@ -24,6 +24,9 @@ from audiotokenization_tpu.train.metrics import stoi
 
 from test_pesq_conformance import _degradations, _speechish
 
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
+
 try:
     import pystoi as _pystoi_pkg  # noqa: F401
 

@@ -7,6 +7,10 @@ from audiotokenization_tpu.models import codec as C
 from audiotokenization_tpu.ops.conv import fold_weight_norm
 
 from test_train_step import tiny_config
+import pytest
+
+# fast core tier: `pytest -m quick` (~4 min on this 2-core host)
+pytestmark = pytest.mark.quick
 
 
 def test_folded_params_identical_tokens_and_audio():
