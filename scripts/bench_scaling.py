@@ -115,8 +115,7 @@ def main():
     if args.cpu_mesh:
         interp = (
             f"CPU-mesh smoke on a {host_cores}-core host: virtual devices "
-            "are threads, so only counts <= cores measure collective "
-            "overhead; oversubscribed counts are "
+            "are threads; counts > cores are "
             + ("measured but contention-dominated (--force)" if args.force
                else "skipped")
             + ". Real scaling evidence is the dryrun_multichip compile/"
@@ -129,6 +128,13 @@ def main():
             b["devices"] / a["devices"])
         interp += (f" Parallel efficiency {a['devices']}->{b['devices']} "
                    f"devices: {eff:.2f}.")
+        if args.cpu_mesh and eff < 0.5:
+            interp += (
+                " CAUTION: XLA CPU runs a multi-threaded pool PER virtual "
+                "device, so on this host even n <= cores contends — these "
+                "rows measure host thread contention, NOT framework "
+                "collective overhead; do not read a scaling trend from "
+                "them.")
     doc = {"mode": "cpu_mesh_tiny" if args.cpu_mesh else "attached",
            "host_cores": host_cores, "rows": rows,
            "interpretation": interp}
