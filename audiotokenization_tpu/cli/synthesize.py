@@ -34,6 +34,12 @@ def main(argv=None):
                    help="conformer decoders: pipeline the backbone over N "
                         "stage devices (parallel/pp.py GPipe schedule; "
                         "n_layers must divide by N)")
+    p.add_argument("--streaming", type=int, default=0, metavar="CHUNK_FRAMES",
+                   help="causal checkpoints: decode through the streaming "
+                        "synthesizer in CHUNK_FRAMES-frame chunks "
+                        "(models/streaming.stream_decode — the serving "
+                        "runtime driven offline; output equals the plain "
+                        "decode to fp32 rounding)")
     args = p.parse_args(argv)
 
     import jax
@@ -72,10 +78,18 @@ def main(argv=None):
                                       temperature=args.temperature)
         tokens = jnp.clip(tokens, 0, vocab - 1)  # drop any BOS/EOS samples
 
-    if args.sequence_parallel and args.pipeline_parallel:
-        raise SystemExit("--sequence_parallel and --pipeline_parallel shard "
-                         "different axes of the same devices; pick one")
-    if args.sequence_parallel:
+    if sum(map(bool, (args.sequence_parallel, args.pipeline_parallel,
+                      args.streaming))) > 1:
+        raise SystemExit("--sequence_parallel / --pipeline_parallel / "
+                         "--streaming are distinct execution modes; pick one")
+    if args.streaming:
+        from ..models.streaming import stream_decode
+
+        # tokens (B, Tf) -> (Nq=1, B, Tf) stream layout
+        wav = stream_decode(codec_params, cfg,
+                            np.asarray(tokens, np.int32)[None],
+                            chunk_frames=args.streaming)
+    elif args.sequence_parallel:
         from ..parallel.sp import make_sp_synthesizer
 
         syn = make_sp_synthesizer(cfg)

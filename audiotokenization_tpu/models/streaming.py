@@ -889,3 +889,51 @@ class StreamingConformerSynthesizer:
                / jnp.maximum(state.env_tail[None, :self.P],
                              jnp.finfo(jnp.float32).tiny))
         return wav, state
+
+
+def stream_decode(params, cfg: Config, codes, *, chunk_frames: int):
+    """Decode a whole token stream chunk-by-chunk through the streaming
+    synthesizer of the config's family (`causal: true` required); returns
+    (B, T_frames * hop) waveform equal to offline decode (fp32 rounding).
+
+    The streaming runtime's offline driver: the warm-up/latency/flush
+    bookkeeping (leading `delay` samples discarded, tail drained at stream
+    end) is handled here, and a trailing partial chunk gets its own
+    synthesizer instance (states are chunk-size-independent, so they flow
+    across). This is what `cli/synthesize.py --streaming` runs; it is also
+    the template for a live serving loop (feed chunks as they arrive
+    instead of slicing a stored stream).
+    """
+    import numpy as np
+
+    d = cfg.model.codec_decoder
+    conformer = d.type == "conformer_istft"
+    mk = (lambda n: (StreamingConformerSynthesizer(params, cfg, chunk_frames=n)
+                     if conformer else
+                     StreamingSynthesizer(params, cfg, chunk_frames=n)))
+    syn = mk(chunk_frames)
+    T = int(codes.shape[-1])
+    B = int(codes.shape[1])
+    hop = syn.hop if conformer else syn.hop
+    state = syn.init_state(batch_size=B)
+    pieces = []
+    t = 0
+    while t + chunk_frames <= T:
+        wav, state = syn.step(state, jnp.asarray(codes[:, :, t:t + chunk_frames]))
+        pieces.append(np.asarray(wav))
+        t += chunk_frames
+    if t < T:
+        rem = mk(T - t)
+        wav, state = rem.step(state, jnp.asarray(codes[:, :, t:]))
+        pieces.append(np.asarray(wav))
+        syn = rem  # flush with the instance that owns the final geometry
+    if conformer:
+        tail, _ = syn.flush(state)
+        pieces.append(np.asarray(tail))
+        skip = syn.delay_samples
+    else:
+        tail, _ = syn.flush(state)
+        pieces.append(np.asarray(tail)) if np.asarray(tail).size else None
+        skip = syn.delay_frames * hop
+    out = np.concatenate([p for p in pieces if p.size], axis=1)
+    return out[:, skip:skip + T * hop]

@@ -157,3 +157,31 @@ def test_streaming_conformer_synth_rejects_noncausal():
     params = C.init_codec(jax.random.key(6), cfg)
     with pytest.raises(ValueError, match="causal"):
         StreamingConformerSynthesizer(params, cfg, chunk_frames=2)
+
+
+def test_stream_decode_helper_partial_chunks():
+    """models/streaming.stream_decode == offline decode for BOTH causal
+    families, including a trailing partial chunk (T % chunk != 0)."""
+    from audiotokenization_tpu.models.streaming import stream_decode
+
+    # conformer family
+    cfg = causal_conformer_config()
+    params = C.init_codec(jax.random.key(8), cfg)
+    rng = np.random.RandomState(8)
+    codes = rng.randint(0, cfg.model.codec_decoder.codebook_size,
+                        size=(1, 1, 13)).astype(np.int32)  # 13 % 4 != 0
+    ref = _offline_decode(params, cfg, codes)
+    got = stream_decode(params, cfg, codes, chunk_frames=4)
+    np.testing.assert_allclose(ref, got, atol=2e-6, rtol=1e-5)
+
+    # bigcodec causal family
+    from test_train_step import tiny_config
+    cfg2 = tiny_config()
+    cfg2.model.codec_encoder.causal = True
+    cfg2.model.codec_decoder.causal = True
+    params2 = C.init_codec(jax.random.key(9), cfg2)
+    codes2 = rng.randint(0, cfg2.model.codec_decoder.codebook_size,
+                         size=(1, 1, 11)).astype(np.int32)
+    ref2 = _offline_decode(params2, cfg2, codes2)
+    got2 = stream_decode(params2, cfg2, codes2, chunk_frames=4)
+    np.testing.assert_allclose(ref2, got2, atol=2e-6, rtol=1e-5)
