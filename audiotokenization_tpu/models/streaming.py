@@ -914,7 +914,7 @@ def stream_decode(params, cfg: Config, codes, *, chunk_frames: int):
     syn = mk(chunk_frames)
     T = int(codes.shape[-1])
     B = int(codes.shape[1])
-    hop = syn.hop if conformer else syn.hop
+    hop = syn.hop
     state = syn.init_state(batch_size=B)
     pieces = []
     t = 0
@@ -927,13 +927,8 @@ def stream_decode(params, cfg: Config, codes, *, chunk_frames: int):
         wav, state = rem.step(state, jnp.asarray(codes[:, :, t:]))
         pieces.append(np.asarray(wav))
         syn = rem  # flush with the instance that owns the final geometry
-    if conformer:
-        tail, _ = syn.flush(state)
-        pieces.append(np.asarray(tail))
-        skip = syn.delay_samples
-    else:
-        tail, _ = syn.flush(state)
-        pieces.append(np.asarray(tail)) if np.asarray(tail).size else None
-        skip = syn.delay_frames * hop
+    tail, _ = syn.flush(state)
+    pieces.append(np.asarray(tail))
+    skip = syn.delay_samples if conformer else syn.delay_frames * hop
     out = np.concatenate([p for p in pieces if p.size], axis=1)
     return out[:, skip:skip + T * hop]
