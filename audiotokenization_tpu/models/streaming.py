@@ -924,6 +924,7 @@ def stream_decode(params, cfg: Config, codes, *, chunk_frames: int):
         t += chunk_frames
     if t < T:
         rem = mk(T - t)
+        rem._frames_fed = t  # the max_seq_len guard counts the WHOLE stream
         wav, state = rem.step(state, jnp.asarray(codes[:, :, t:]))
         pieces.append(np.asarray(wav))
         syn = rem  # flush with the instance that owns the final geometry
