@@ -219,3 +219,23 @@ def test_streaming_flush_noop_without_antialias():
     assert syn.delay_frames == 0
     wav, _ = syn.flush(syn.init_state(1))
     assert wav.shape[-1] == 0
+
+
+def test_stream_decode_helper_antialias_partial_chunk():
+    """models/streaming.stream_decode drives the ANTIALIAS causal bigcodec
+    path (delay_frames > 0 + flush inside the helper, trailing partial
+    chunk) and equals offline decode — r5, complements the conformer/plain
+    cases in test_streaming_conformer.py."""
+    from audiotokenization_tpu.models.streaming import stream_decode
+
+    cfg = tiny_config()
+    cfg.model.codec_decoder.causal = True
+    cfg.model.codec_decoder.antialias = True
+    params = C.init_codec(jax.random.key(23), cfg)
+    rng = np.random.RandomState(23)
+    tf = 57  # 57 % 20 != 0 -> remainder-instance path with AA latency
+    codes = rng.randint(0, 64, (1, 1, tf)).astype(np.int32)
+    z = C.codes_to_emb(params, cfg, jnp.asarray(np.moveaxis(codes, 0, -1)))
+    full = np.asarray(C.decode(params, cfg, z))[0, 0]
+    got = stream_decode(params, cfg, codes, chunk_frames=20)
+    np.testing.assert_allclose(got[0], full, rtol=1e-5, atol=1e-6)
