@@ -132,6 +132,25 @@ def main():
     except Exception as e:  # cost_analysis is backend-dependent
         mfu = {"mfu_error": f"{type(e).__name__}: {e}"}
 
+    # the recommended serving mode (docs/SERVING.md): bf16_3x matmul passes,
+    # fp32 VQ — oracle parity equal to conformant at ~1.5x the throughput
+    try:
+        @jax.jit
+        def tokenize_many_high(params, wavs):
+            return jax.lax.map(lambda w: C.tokenize(params, cfg, w,
+                                                    mode="high"), wavs)
+
+        np.asarray(tokenize_many_high(params, wavs)[0, 0, :1])
+        ths = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            codes_h = tokenize_many_high(params, wavs)
+            np.asarray(codes_h[0, 0, :1])
+            ths.append(time.perf_counter() - t0)
+        mfu["tokenize_high_audio_s_per_s"] = round(K * B / min(ths), 2)
+    except Exception as e:
+        mfu["tokenize_high_error"] = f"{type(e).__name__}: {e}"
+
     # secondary metric: full GAN train-step throughput at the bs32 x 1 s
     # bf16 sweet spot (BASELINE.json config 5) — reported inside the same
     # single JSON line so step regressions surface in BENCH_r*.json
